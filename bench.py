@@ -1,0 +1,104 @@
+"""Headline benchmark: chunked 3D semantic segmentation throughput (1 chip).
+
+Runs the full dense-prediction path (the pipeline's compute core and
+BASELINE.json's metric "Mvox/s/chip chunked 3D semseg"): a synthetic EM
+volume stored as zstd chunks on disk is streamed tile-by-tile (with halo)
+through the 4-class organelle 3D U-Net on the attached TPU, and per-class
+probability maps are written back as chunked volumes — IO included, compile
+excluded (warm-up tile before timing).
+
+Baseline (BASELINE.md [2], docs/instructions.rst:94): the reference predicts
+the 0.726 GVx example cube's myelin map at mag 4 (= 11.34 MVx at output
+resolution) in 62 s on 2x Quadro RTX 5000 => 0.183 Mvox/s effective
+(0.091 Mvox/s per GPU). vs_baseline = ours / 0.183.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+BASELINE_MVOX_S = 11.34e6 / 62.0 / 1e6  # reference dense-prediction step
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+
+    from syconn_tpu.inference.dense import predict_dense_to_kd
+    from syconn_tpu.models.io import init_model_params
+    from syconn_tpu.models.unet3d import UNet3D, unet_variants
+
+    # ---------------------------------------------------------------- setup
+    shape = (768, 768, 384)  # 226 MVx synthetic volume
+    tile = (384, 384, 192)
+    halo = (32, 32, 16)
+    rng = np.random.default_rng(0)
+    vol = rng.integers(0, 255, shape, dtype=np.uint8)
+
+    tmp = tempfile.mkdtemp(prefix="syconn_bench_")
+    from syconn_tpu.io.chunked import ChunkedVolume
+
+    src = ChunkedVolume.create(
+        os.path.join(tmp, "src"), scale=(10, 10, 20), boundary=shape, chunk_shape=tile
+    )
+    src.save_raw(vol)
+
+    model = UNet3D(**unet_variants("organelles"))
+    # init at a small shape (params are shape-agnostic; full-res tracing of
+    # the big tile would materialize the depth-to-space transpose)
+    params = init_model_params(model, (1, 64, 64, 32, 1))
+
+    # ------------------------------------------------------------- warm-up
+    from syconn_tpu.inference.dense import DenseTilePredictor
+
+    pred = DenseTilePredictor(model, params, tile_shape=tile, halo=halo)
+    warm = np.zeros((1,) + tuple(np.add(tile, np.multiply(2, halo))), np.uint8)
+    pred.predict_tiles(warm)  # compile
+
+    # ---------------------------------------------------------------- run
+    # mask mode: thresholding fused on device, 1 bit/voxel readback — the
+    # format the extraction stage consumes
+    stats = predict_dense_to_kd(
+        os.path.join(tmp, "src"),
+        target_paths={
+            "mi": os.path.join(tmp, "mi"),
+            "vc": os.path.join(tmp, "vc"),
+            "sj": os.path.join(tmp, "sj"),
+        },
+        model=model,
+        params=params,
+        channel_mapping={"mi": 1, "vc": 2, "sj": 3},
+        tile_shape=tile,
+        halo=halo,
+        target_mags=(1, 2),
+        show_progress=False,
+        mode="masks",
+        thresholds=(0.5, 0.4286, 0.2857, 0.1905),
+    )
+    mvox_s = stats["mvox_per_s"]
+    result = {
+        "metric": "dense_3d_semseg_mvox_per_s_per_chip",
+        "value": round(mvox_s, 2),
+        "unit": "Mvox/s",
+        "vs_baseline": round(mvox_s / BASELINE_MVOX_S, 1),
+        "detail": {
+            "volume_mvox": stats["n_voxels"] / 1e6,
+            "seconds": round(stats["seconds"], 2),
+            "device": str(jax.devices()[0]),
+            "model": "UNet3D organelles patchified (4,4,2)->(64,128,256) 4-class, bf16, fused threshold+bitpack readback",
+            "baseline": "reference myelin dense prediction 11.34 MVx / 62 s on 2 GPUs",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

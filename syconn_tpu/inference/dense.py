@@ -1,0 +1,319 @@
+"""Tiled dense 3D CNN inference over chunked volumes.
+
+Rebuild of the reference's ``predict_dense_to_kd`` (reference:
+syconn/handler/prediction.py:594-843): the volume is covered by fixed-size
+tiles with a halo sized to the network's receptive field; each tile is
+predicted, the halo cropped, and per-class outputs written to target chunked
+volumes (plus optional argmax label volumes).
+
+TPU execution model (vs. the reference's one-SLURM-job-per-GPU-chunk):
+* one jitted forward with static tile shape — compiled once, fed a stream;
+* a dispatch/fetch pipeline: tile i+1 is uploaded and launched while tile i
+  downloads (JAX async dispatch), and host IO threads prefetch source tiles
+  and write results concurrently;
+* bfloat16 activations;
+* two output modes per run:
+    - ``probs``: uint8 softmax probability maps (reference format),
+    - ``masks``: thresholding fused on device, bit-packed 1 bit/voxel for
+      the device->host transfer (8-32x fewer bytes than prob maps — the
+      interconnect, not the MXU, is the bottleneck for dense semseg),
+      stored as 0/255 uint8 volumes so prob-threshold consumers read them
+      unchanged.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.jaxcfg import setup_jax
+
+setup_jax()
+
+from ..io.chunked import ChunkedVolume
+
+log = logging.getLogger("syconn_tpu.inference")
+
+__all__ = ["DenseTilePredictor", "predict_dense_to_kd"]
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+class DenseTilePredictor:
+    """Jitted tiled forward pass with async dispatch/fetch.
+
+    Output modes:
+        * ``probs`` — (B, tx, ty, tz, C) uint8 softmax probabilities.
+        * ``masks`` — (B, C, tx, ty, tz/8) uint8, per-class thresholded
+          foreground bit-packed along z (little-endian bit order).
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        tile_shape: Sequence[int] = (256, 256, 128),
+        halo: Sequence[int] = (32, 32, 16),
+        batch_size: int = 1,
+        mode: str = "probs",
+        thresholds: Optional[Sequence[float]] = None,
+    ):
+        self.model = model
+        self.tile_shape = np.asarray(tile_shape, np.int64)
+        self.halo = np.asarray(halo, np.int64)
+        self.batch_size = int(batch_size)
+        self.mode = mode
+        self._params = jax.device_put(params)
+        n_classes = model.n_classes
+        patch = np.asarray(getattr(model, "patch", (1, 1, 1)), np.int64)
+        self.patch = patch
+        pvox = int(np.prod(patch))
+        self._pvox = pvox
+        if thresholds is None:
+            thresholds = [0.5] * n_classes
+        thr = jnp.asarray(np.asarray(thresholds, np.float32)[:, None])  # (C, 1)
+        ts = tuple(int(t) for t in self.tile_shape)
+        h = tuple(int(x) for x in self.halo)
+        assert np.all(self.tile_shape % patch == 0) and np.all(self.halo % patch == 0), (
+            "tile_shape and halo must be divisible by the model patch "
+            f"(got {ts}, {h}, patch {tuple(patch)})"
+        )
+        tsp = tuple(int(t) for t in self.tile_shape // patch)  # patched tile
+        hp = tuple(int(x) for x in self.halo // patch)  # patched halo
+        assert (pvox * n_classes) % 8 == 0
+
+        # All device buffers stay in the patched layout (minor dim
+        # n_classes*pvox >= 128): softmax/threshold/bit-pack fuse without
+        # materializing padded full-resolution tensors; the host performs
+        # the final depth-to-space (cheap transpose of uint8 data).
+        @jax.jit
+        def fwd(params, x):
+            lg = model.apply(
+                {"params": params}, x[..., None].astype(jnp.float32), full_res=False
+            )  # (B, Xp, Yp, Zp, C*pvox)
+            lg = lg[
+                :, hp[0] : hp[0] + tsp[0], hp[1] : hp[1] + tsp[1], hp[2] : hp[2] + tsp[2], :
+            ]
+            b, sx, sy, sz, _ = lg.shape
+            lg = lg.reshape(b, sx, sy, sz, n_classes, pvox)
+            probs = jax.nn.softmax(lg, axis=-2)
+            if mode == "probs":
+                out = jnp.round(probs * 255.0).astype(jnp.uint8)
+                return out.reshape(b, sx, sy, sz, n_classes * pvox)
+            fg = (probs >= thr).reshape(b, sx, sy, sz, n_classes * pvox // 8, 8)
+            weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+            return jnp.sum(fg.astype(jnp.uint8) * weights, axis=-1, dtype=jnp.uint8)
+
+        self._fwd = fwd
+        self._in_shape = (self.batch_size,) + tuple(np.add(ts, np.multiply(2, h)))
+
+    @property
+    def n_classes(self) -> int:
+        return self.model.n_classes
+
+    # ------------------------------------------------------------- pipeline
+    def dispatch(self, x: np.ndarray):
+        """Upload + launch (non-blocking); returns a device future."""
+        return self._fwd(self._params, jnp.asarray(x))
+
+    def fetch_raw(self, dev_out) -> np.ndarray:
+        """Block on the device future; returns the packed patched array."""
+        return np.asarray(dev_out)
+
+    def unpack(self, out: np.ndarray) -> np.ndarray:
+        """Host depth-to-space of a packed patched array.
+
+        Returns (B, X, Y, Z, C) uint8 probabilities (probs mode) or
+        (B, C, X, Y, Z) uint8 0/1 masks (mask mode)."""
+        b, sx, sy, sz, _ = out.shape
+        C = self.n_classes
+        px, py, pz = (int(p) for p in self.patch)
+        if self.mode == "masks":
+            out = np.unpackbits(out[..., None], axis=-1, bitorder="little")
+        out = out.reshape(b, sx, sy, sz, C, px, py, pz)
+        if self.mode == "masks":
+            # (B, C, X, Y, Z) uint8 in {0, 1}
+            return np.ascontiguousarray(
+                out.transpose(0, 4, 1, 5, 2, 6, 3, 7)
+            ).reshape(b, C, sx * px, sy * py, sz * pz)
+        # (B, X, Y, Z, C) uint8
+        return np.ascontiguousarray(out.transpose(0, 1, 5, 2, 6, 3, 7, 4)).reshape(
+            b, sx * px, sy * py, sz * pz, C
+        )
+
+    def fetch(self, dev_out) -> np.ndarray:
+        return self.unpack(self.fetch_raw(dev_out))
+
+    def predict_tiles(self, x: np.ndarray) -> np.ndarray:
+        return self.fetch(self.dispatch(x))
+
+    def predict_array(self, vol: np.ndarray, show_progress: bool = False) -> np.ndarray:
+        """Predict a full in-memory volume; returns (x, y, z, C) uint8 probs
+        (probs mode) or (C, x, y, z) bool (mask mode)."""
+        vol = np.asarray(vol, np.uint8)
+        sh = np.array(vol.shape, np.int64)
+        ts, h = self.tile_shape, self.halo
+        grid = _cdiv(sh, ts)
+        if self.mode == "probs":
+            out = np.zeros(tuple(sh) + (self.n_classes,), np.uint8)
+        else:
+            out = np.zeros((self.n_classes,) + tuple(sh), bool)
+        padded = np.pad(vol, [(h[i], h[i] + int(grid[i] * ts[i] - sh[i])) for i in range(3)])
+        for gx in range(grid[0]):
+            for gy in range(grid[1]):
+                for gz in range(grid[2]):
+                    o = np.array([gx, gy, gz]) * ts
+                    tile = padded[
+                        o[0] : o[0] + ts[0] + 2 * h[0],
+                        o[1] : o[1] + ts[1] + 2 * h[1],
+                        o[2] : o[2] + ts[2] + 2 * h[2],
+                    ]
+                    res = self.predict_tiles(tile[None])[0]
+                    hi = np.minimum(o + ts, sh)
+                    s = hi - o
+                    if self.mode == "probs":
+                        out[o[0] : hi[0], o[1] : hi[1], o[2] : hi[2]] = res[
+                            : s[0], : s[1], : s[2]
+                        ]
+                    else:
+                        out[:, o[0] : hi[0], o[1] : hi[1], o[2] : hi[2]] = res[
+                            :, : s[0], : s[1], : s[2]
+                        ]
+        return out
+
+
+def predict_dense_to_kd(
+    kd_path: str,
+    target_paths: Dict[str, str],
+    model,
+    params,
+    channel_mapping: Dict[str, int],
+    mag: int = 1,
+    tile_shape: Sequence[int] = (256, 256, 128),
+    halo: Sequence[int] = (32, 32, 16),
+    seg_path: Optional[str] = None,
+    target_mags: Sequence[int] = (1, 2),
+    io_threads: int = 8,
+    show_progress: bool = True,
+    mode: str = "probs",
+    thresholds: Optional[Sequence[float]] = None,
+    pipeline_depth: int = 2,
+) -> dict:
+    """Predict a whole chunked volume and write per-class outputs.
+
+    Args:
+        kd_path: source volume ('raw' channel is read at ``mag``).
+        target_paths: output name -> target volume path (created).
+        channel_mapping: output name -> class channel index.
+        seg_path: optional argmax label volume output (probs mode only).
+        mode/thresholds: see :class:`DenseTilePredictor`.
+
+    Returns timing/throughput stats.
+    """
+    src = ChunkedVolume.open(kd_path)
+    pred = DenseTilePredictor(
+        model, params, tile_shape=tile_shape, halo=halo, mode=mode, thresholds=thresholds
+    )
+    sh = src.mag_shape(mag)
+    ts = np.asarray(tile_shape, np.int64)
+    h = np.asarray(halo, np.int64)
+    grid = _cdiv(sh, ts)
+    scale = src.scale * mag
+
+    targets = {
+        name: ChunkedVolume.create(
+            path, scale=scale, boundary=sh, experiment_name=src.experiment_name,
+            chunk_shape=tuple(int(t) for t in ts),
+        )
+        for name, path in target_paths.items()
+    }
+    seg_kd = None
+    if seg_path is not None:
+        if mode != "probs":
+            raise ValueError("seg output requires probs mode")
+        seg_kd = ChunkedVolume.create(
+            seg_path, scale=scale, boundary=sh, experiment_name=src.experiment_name,
+            chunk_shape=tuple(int(t) for t in ts),
+        )
+
+    tiles = [
+        np.array([gx, gy, gz]) * ts
+        for gx in range(grid[0])
+        for gy in range(grid[1])
+        for gz in range(grid[2])
+    ]
+
+    def load_tile(offset):
+        return src.load_raw(offset=offset - h, size=ts + 2 * h, mag=mag)
+
+    def unpack_and_write(offset, raw):
+        """Runs in a writer thread: host depth-to-space + chunk writes."""
+        res = pred.unpack(raw)[0]
+        hi = np.minimum(offset + ts, sh)
+        s = hi - offset
+        for name, ch in channel_mapping.items():
+            if name not in targets:
+                continue
+            if mode == "probs":
+                data = np.ascontiguousarray(res[: s[0], : s[1], : s[2], ch])
+                targets[name].save_raw(data, offset, target_mags)
+            else:
+                data = res[ch, : s[0], : s[1], : s[2]] * np.uint8(255)
+                targets[name].save_raw(data, offset, target_mags, downsample="stride")
+        if seg_kd is not None:
+            labels = np.argmax(res[: s[0], : s[1], : s[2]], axis=-1).astype(np.uint64)
+            seg_kd.save_seg(labels, offset, target_mags)
+
+    writer = ThreadPoolExecutor(max_workers=io_threads)
+    loader = ThreadPoolExecutor(max_workers=io_threads)
+    t0 = time.perf_counter()
+    n_vox = 0
+    # three-stage pipeline: host prefetch -> device dispatch -> host write
+    prefetch_depth = pipeline_depth + 2
+    load_futs = {
+        i: loader.submit(load_tile, tiles[i])
+        for i in range(min(prefetch_depth, len(tiles)))
+    }
+    inflight: deque = deque()  # (tile_index, device_future)
+    write_futs = []
+
+    def drain_one():
+        nonlocal n_vox
+        i, dev = inflight.popleft()
+        raw = pred.fetch_raw(dev)  # d2h only; unpack + writes go to threads
+        write_futs.append(writer.submit(unpack_and_write, tiles[i], raw))
+        sz = np.minimum(tiles[i] + ts, sh) - tiles[i]
+        n_vox += int(np.prod(sz))
+
+    for i in range(len(tiles)):
+        tile = load_futs.pop(i).result()
+        nxt = i + prefetch_depth
+        if nxt < len(tiles):
+            load_futs[nxt] = loader.submit(load_tile, tiles[nxt])
+        inflight.append((i, pred.dispatch(tile[None])))
+        while len(inflight) > pipeline_depth:
+            drain_one()
+        if show_progress and (i + 1) % 16 == 0:
+            log.info("dense prediction: %d/%d tiles dispatched", i + 1, len(tiles))
+    while inflight:
+        drain_one()
+    for f in write_futs:
+        f.result()
+    writer.shutdown()
+    loader.shutdown()
+    dt = time.perf_counter() - t0
+    stats = {"n_voxels": n_vox, "seconds": dt, "mvox_per_s": n_vox / dt / 1e6}
+    log.info(
+        "dense prediction done: %.1f MVx in %.1f s (%.1f MVx/s)",
+        n_vox / 1e6, dt, stats["mvox_per_s"],
+    )
+    return stats

@@ -61,6 +61,17 @@ class ChunkedVolume:
         self._meta = meta
         self._io_threads = int(meta.get("io_threads", 16))
         self._pool: Optional[ThreadPoolExecutor] = None
+        # per-chunk locks: concurrent writers read-modify-write shared
+        # border chunks (e.g. mag-pyramid writes from adjacent tiles)
+        self._locks_guard = threading.Lock()
+        self._chunk_locks: Dict[str, threading.Lock] = {}
+
+    def _chunk_lock(self, path: str) -> threading.Lock:
+        with self._locks_guard:
+            lk = self._chunk_locks.get(path)
+            if lk is None:
+                lk = self._chunk_locks[path] = threading.Lock()
+            return lk
 
     # ------------------------------------------------------------- lifecycle
     @classmethod
@@ -165,7 +176,7 @@ class ChunkedVolume:
     def _write_chunk(self, channel: str, mag: int, cix, data: np.ndarray):
         p = self._chunk_path(channel, mag, cix)
         os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = p + f".tmp{os.getpid()}"
+        tmp = p + f".tmp{os.getpid()}_{threading.get_ident()}"
         with open(tmp, "wb") as f:
             f.write(_cctx().compress(np.ascontiguousarray(data).tobytes()))
         os.replace(tmp, p)
@@ -234,6 +245,8 @@ class ChunkedVolume:
             hi = np.minimum(cofs + cs, offset + size)
             if np.any(hi <= lo):
                 return
+            lock = self._chunk_lock(self._chunk_path(channel, mag, cix))
+            lock.acquire()
             aligned = np.all(lo == cofs) and np.all(hi == cofs + cs)
             if aligned:
                 chunk = np.ascontiguousarray(
@@ -258,7 +271,10 @@ class ChunkedVolume:
                     lo[1] - offset[1] : hi[1] - offset[1],
                     lo[2] - offset[2] : hi[2] - offset[2],
                 ]
-            self._write_chunk(channel, mag, cix, chunk)
+            try:
+                self._write_chunk(channel, mag, cix, chunk)
+            finally:
+                lock.release()
 
         if len(jobs) > 1:
             list(self._get_pool().map(work, jobs))
@@ -281,8 +297,15 @@ class ChunkedVolume:
             size = self.mag_shape(mag) - np.asarray(offset)
         return self._load("seg", offset, size, mag)
 
-    def save_raw(self, data: np.ndarray, offset=(0, 0, 0), mags: Sequence[int] = (1,), data_mag: int = 1):
-        self._save_multi_mag("raw", data, offset, mags, data_mag, downsample="mean")
+    def save_raw(
+        self,
+        data: np.ndarray,
+        offset=(0, 0, 0),
+        mags: Sequence[int] = (1,),
+        data_mag: int = 1,
+        downsample: str = "mean",
+    ):
+        self._save_multi_mag("raw", data, offset, mags, data_mag, downsample=downsample)
 
     def save_seg(self, data: np.ndarray, offset=(0, 0, 0), mags: Sequence[int] = (1,), data_mag: int = 1):
         self._save_multi_mag("seg", data, offset, mags, data_mag, downsample="stride")

@@ -1,0 +1,140 @@
+"""Model persistence: architecture JSON + flax msgpack parameters.
+
+Replaces the reference's elektronn3 ``state_dict.pth``/``model.pts`` files
+consumed by ``DynConfig.mpath_*`` (reference: syconn/handler/config.py:538-659).
+A model directory contains ``arch.json`` (constructor name + kwargs) and
+``params.msgpack``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.jaxcfg import setup_jax
+
+setup_jax()
+from flax import serialization
+
+_MODEL_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_model(name: str):
+    def deco(cls):
+        _MODEL_REGISTRY[name] = cls
+        return cls
+
+    return deco
+
+
+def _get_model_cls(name: str):
+    if name in _MODEL_REGISTRY:
+        return _MODEL_REGISTRY[name]
+    # built-ins
+    if name == "UNet3D":
+        from .unet3d import UNet3D
+
+        return UNet3D
+    if name == "MultiViewCMN":
+        from .cmn import MultiViewCMN
+
+        return MultiViewCMN
+    if name == "TripletCMN":
+        from .cmn import TripletCMN
+
+        return TripletCMN
+    if name == "PointSegNet":
+        from .pointnet import PointSegNet
+
+        return PointSegNet
+    if name == "PointClassNet":
+        from .pointnet import PointClassNet
+
+        return PointClassNet
+    raise KeyError(f"Unknown model class '{name}'.")
+
+
+def _jsonable(v):
+    if isinstance(v, (tuple, list)):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, np.dtype) or (isinstance(v, type) and np.issubdtype(v, np.generic)):
+        return np.dtype(v).name
+    return v
+
+
+def save_model(path: str, model, params, extra_meta: Optional[dict] = None):
+    """Persist a flax module + params to a model directory."""
+    os.makedirs(path, exist_ok=True)
+    kwargs = {}
+    for field in model.__dataclass_fields__:
+        if field in ("parent", "name"):
+            continue
+        v = getattr(model, field)
+        if field == "dtype":
+            v = np.dtype(v).name if v is not None else None
+        kwargs[field] = _jsonable(v)
+    arch = {
+        "cls": type(model).__name__,
+        "kwargs": kwargs,
+        "meta": extra_meta or {},
+    }
+    with open(os.path.join(path, "arch.json"), "w") as f:
+        json.dump(arch, f, indent=1)
+    with open(os.path.join(path, "params.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_model(path: str) -> Tuple[Any, Any]:
+    """Load (model, params) from a model directory."""
+    with open(os.path.join(path, "arch.json")) as f:
+        arch = json.load(f)
+    cls = _get_model_cls(arch["cls"])
+    kwargs = dict(arch["kwargs"])
+    if "dtype" in kwargs and kwargs["dtype"] is not None:
+        kwargs["dtype"] = jnp.dtype(kwargs["dtype"])
+    # tuples were serialized as lists
+    for k, v in list(kwargs.items()):
+        if isinstance(v, list):
+            kwargs[k] = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+    model = cls(**kwargs)
+    with open(os.path.join(path, "params.msgpack"), "rb") as f:
+        raw = f.read()
+    # build a params template to restore structure
+    params = serialization.msgpack_restore(raw)
+    return model, params
+
+
+def model_exists(path: str) -> bool:
+    return os.path.isfile(os.path.join(path, "arch.json")) and os.path.isfile(
+        os.path.join(path, "params.msgpack")
+    )
+
+
+def init_model_params(model, example_shape, seed: int = 0):
+    rng = jax.random.PRNGKey(seed)
+    x = jnp.zeros(example_shape, jnp.float32)
+    return model.init(rng, x)["params"]
+
+
+def get_or_init_model(path: str, builder: Callable[[], Tuple[Any, tuple]], seed: int = 0):
+    """Load a model dir, or initialize one (fixed seed) and persist it.
+
+    ``builder`` returns ``(model, example_input_shape)``. Freshly initialized
+    models let the pipeline run end-to-end before task-specific training
+    (models/train.py) has produced real weights.
+    """
+    if model_exists(path):
+        return load_model(path)
+    model, example_shape = builder()
+    params = init_model_params(model, example_shape, seed=seed)
+    save_model(path, model, params, extra_meta={"initialized_only": True, "seed": seed})
+    return model, params

@@ -1,0 +1,120 @@
+"""Training harness for dense voxel models.
+
+Replaces the reference's elektronn3 ``Trainer``/``StoppableTrainer`` usage
+(reference: syconn/cnn/cnn_myelin.py and 21 sibling scripts) with a jitted
+optax loop. Sharding: parameters replicated, batch sharded over the mesh's
+"data" axis, and optionally the z-axis of the volume over "sp" — XLA's SPMD
+partitioner inserts the halo exchanges for spatially partitioned
+convolutions and the gradient psums over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.jaxcfg import setup_jax
+
+setup_jax()
+import optax
+from flax.training import train_state
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["TrainState", "make_train_state", "make_train_step", "train_dense"]
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def make_train_state(
+    model,
+    example_shape: Tuple[int, ...],
+    learning_rate: float = 1e-3,
+    weight_decay: float = 1e-4,
+    seed: int = 0,
+) -> TrainState:
+    rng = jax.random.PRNGKey(seed)
+    params = model.init(rng, jnp.zeros(example_shape, jnp.float32))["params"]
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(learning_rate, weight_decay=weight_decay),
+    )
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+def softmax_xent_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean softmax cross entropy with integer labels; label -1 = ignore."""
+    valid = labels >= 0
+    safe_labels = jnp.maximum(labels, 0)
+    losses = optax.softmax_cross_entropy_with_integer_labels(logits, safe_labels)
+    return jnp.sum(losses * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def make_train_step(
+    mesh: Optional[Mesh] = None,
+    data_axis: str = "data",
+    spatial_axis: Optional[str] = "sp",
+    loss_fn: Callable = softmax_xent_loss,
+):
+    """Build a jitted ``step(state, x, y) -> (state, metrics)``.
+
+    With a mesh, inputs are sharded batch-over-``data`` and (if the mesh has
+    a >1 ``spatial_axis``) z-over-``sp``; params/optimizer state replicated.
+    """
+
+    def step(state: TrainState, x: jnp.ndarray, y: jnp.ndarray):
+        def compute_loss(params):
+            logits = state.apply_fn({"params": params}, x)
+            return loss_fn(logits, y), logits
+
+        (loss, logits), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads=grads)
+        acc = jnp.mean((jnp.argmax(logits, -1) == y) * (y >= 0))
+        return new_state, {"loss": loss, "acc": acc}
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    spatial = spatial_axis if spatial_axis in mesh.axis_names else None
+    x_spec = P(data_axis, None, None, spatial, None)
+    y_spec = P(data_axis, None, None, spatial)
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(repl, NamedSharding(mesh, x_spec), NamedSharding(mesh, y_spec)),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def train_dense(
+    model,
+    data_iter: Iterator[Tuple[np.ndarray, np.ndarray]],
+    n_steps: int,
+    example_shape: Tuple[int, ...],
+    learning_rate: float = 1e-3,
+    mesh: Optional[Mesh] = None,
+    log_every: int = 50,
+    state: Optional[TrainState] = None,
+    log=None,
+):
+    """Train on an iterator of (x, y) batches; returns the final state."""
+    if state is None:
+        state = make_train_state(model, example_shape, learning_rate)
+    step_fn = make_train_step(mesh)
+    history = []
+    for i in range(n_steps):
+        x, y = next(data_iter)
+        state, metrics = step_fn(state, jnp.asarray(x), jnp.asarray(y))
+        if (i + 1) % log_every == 0 or i == n_steps - 1:
+            m = jax.device_get(metrics)
+            history.append((i + 1, float(m["loss"]), float(m["acc"])))
+            if log is not None:
+                log.info("step %d loss %.4f acc %.4f", i + 1, m["loss"], m["acc"])
+    return state, history

@@ -1,0 +1,34 @@
+"""Process-wide JAX configuration for the framework.
+
+Enables the persistent compilation cache (compiles of the tiled inference
+and training programs cost minutes via remote-compile TPU attachments; the
+cache amortizes them across processes and pipeline steps). Called lazily by
+the modules that touch JAX; opt out with SYCONN_TPU_NO_JAX_CACHE=1.
+"""
+
+from __future__ import annotations
+
+import os
+
+_configured = False
+
+
+def setup_jax():
+    global _configured
+    if _configured:
+        return
+    _configured = True
+    if os.environ.get("SYCONN_TPU_NO_JAX_CACHE") == "1":
+        return
+    import jax
+
+    cache_dir = os.environ.get(
+        "SYCONN_TPU_JAX_CACHE", os.path.expanduser("~/.cache/syconn_tpu/jax")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass

@@ -1,0 +1,125 @@
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+
+def test_unet_forward_shapes():
+    import jax.numpy as jnp
+
+    from syconn_tpu.models.unet3d import UNet3D
+
+    model = UNet3D(features=(16, 32), strides=((2, 2, 1),), patch=(2, 2, 2), n_classes=3)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 16, 1)))["params"]
+    out = model.apply({"params": params}, jnp.zeros((2, 32, 32, 16, 1)))
+    assert out.shape == (2, 32, 32, 16, 3)
+    assert out.dtype == jnp.float32
+
+
+def test_train_step_reduces_loss():
+    import jax.numpy as jnp
+
+    from syconn_tpu.models.train import make_train_state, make_train_step
+    from syconn_tpu.models.unet3d import UNet3D
+
+    model = UNet3D(features=(16, 32), strides=((2, 2, 2),), patch=(2, 2, 2), n_classes=2)
+    state = make_train_state(model, (1, 16, 16, 16, 1), learning_rate=3e-3)
+    step = make_train_step()
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 255, (2, 16, 16, 16, 1)).astype(np.float32)
+    y = (x[..., 0] > 127).astype(np.int32)
+    losses = []
+    for _ in range(10):
+        state, m = step(state, jnp.asarray(x), jnp.asarray(y))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_train_step_sharded_multichip():
+    """Full train step over an 8-device CPU mesh (dp x sp)."""
+    import jax.numpy as jnp
+
+    from syconn_tpu.models.train import make_train_state, make_train_step
+    from syconn_tpu.models.unet3d import UNet3D
+    from syconn_tpu.parallel.device import get_device_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = get_device_mesh(8, axis_names=("data", "sp"), mesh_shape=(4, 2))
+    model = UNet3D(features=(16, 32), strides=((2, 2, 2),), patch=(2, 2, 2), n_classes=2)
+    state = make_train_state(model, (1, 16, 16, 16, 1))
+    step = make_train_step(mesh)
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 255, (4, 16, 16, 16, 1)).astype(np.float32)
+    y = (x[..., 0] > 127).astype(np.int32)
+    state, m = step(state, jnp.asarray(x), jnp.asarray(y))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_model_io_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from syconn_tpu.models.io import init_model_params, load_model, save_model
+    from syconn_tpu.models.unet3d import UNet3D
+
+    model = UNet3D(features=(16, 32), strides=((2, 2, 1),), patch=(2, 2, 2), n_classes=2)
+    params = init_model_params(model, (1, 16, 16, 8, 1))
+    p = str(tmp_path / "model")
+    save_model(p, model, params)
+    model2, params2 = load_model(p)
+    assert model2.n_classes == 2
+    assert tuple(model2.features) == (16, 32)
+    x = jnp.ones((1, 16, 16, 8, 1))
+    out1 = model.apply({"params": params}, x)
+    out2 = model2.apply({"params": params2}, x)
+    assert np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_dense_tile_predictor_matches_direct():
+    """Tiled prediction with halo must equal whole-volume prediction away
+    from tile borders, and probabilities must sum to ~255."""
+    from syconn_tpu.inference.dense import DenseTilePredictor
+    from syconn_tpu.models.io import init_model_params
+    from syconn_tpu.models.unet3d import UNet3D
+
+    model = UNet3D(features=(16, 32), strides=((2, 2, 2),), patch=(2, 2, 2), n_classes=2)
+    params = init_model_params(model, (1, 32, 32, 32, 1))
+    pred = DenseTilePredictor(model, params, tile_shape=(32, 32, 32), halo=(8, 8, 8))
+    rng = np.random.default_rng(0)
+    vol = rng.integers(0, 255, (64, 48, 32), dtype=np.uint8)
+    probs = pred.predict_array(vol)
+    assert probs.shape == (64, 48, 32, 2)
+    sums = probs.astype(np.int32).sum(-1)
+    assert np.all(np.abs(sums - 255) <= 2)
+
+
+def test_predict_dense_to_kd(tmp_path, rng):
+    from syconn_tpu.inference.dense import predict_dense_to_kd
+    from syconn_tpu.io.chunked import ChunkedVolume
+    from syconn_tpu.models.io import init_model_params
+    from syconn_tpu.models.unet3d import UNet3D
+
+    src_p = str(tmp_path / "src")
+    vol = rng.integers(0, 255, (64, 64, 32), dtype=np.uint8)
+    src = ChunkedVolume.create(src_p, scale=(10, 10, 20), boundary=vol.shape, chunk_shape=(32, 32, 32))
+    src.save_raw(vol)
+
+    model = UNet3D(features=(16, 32), strides=((2, 2, 2),), patch=(2, 2, 2), n_classes=3)
+    params = init_model_params(model, (1, 32, 32, 32, 1))
+    stats = predict_dense_to_kd(
+        src_p,
+        target_paths={"a": str(tmp_path / "ta"), "b": str(tmp_path / "tb")},
+        model=model,
+        params=params,
+        channel_mapping={"a": 1, "b": 2},
+        tile_shape=(32, 32, 32),
+        halo=(8, 8, 8),
+        seg_path=str(tmp_path / "seg_out"),
+        target_mags=(1,),
+    )
+    assert stats["n_voxels"] == 64 * 64 * 32
+    ta = ChunkedVolume.open(str(tmp_path / "ta"))
+    pa = ta.load_raw(size=(64, 64, 32))
+    assert pa.shape == (64, 64, 32)
+    seg = ChunkedVolume.open(str(tmp_path / "seg_out")).load_seg(size=(64, 64, 32))
+    assert set(np.unique(seg)) <= {0, 1, 2}
