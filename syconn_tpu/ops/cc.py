@@ -1,0 +1,132 @@
+"""Connected components, seeded watershed, and cross-chunk label merging.
+
+The reference computes per-chunk connected components, assigns globally
+unique labels, compares chunk faces, builds a merge graph and relabels
+(reference: syconn/extraction/object_extraction_steps.py:369-737:
+``make_unique_labels``, ``make_stitch_list``, ``make_merge_list``,
+``apply_merge_list``). This module provides those pieces as pure functions:
+intra-chunk labeling on host (scipy), globally-unique label encoding by
+chunk index, face-pair extraction, and a numpy union-find for the global
+merge — no SLURM jobs, no face files.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy import ndimage
+
+__all__ = [
+    "connected_components",
+    "watershed_from_seeds",
+    "encode_chunk_labels",
+    "face_merge_pairs",
+    "UnionFind",
+    "merge_pairs_to_map",
+]
+
+# labels are encoded chunk_linear_index * 2**24 + local_label
+CHUNK_LABEL_STRIDE = np.uint64(1 << 24)
+
+
+def connected_components(mask: np.ndarray) -> Tuple[np.ndarray, int]:
+    """6-connected components of a binary mask; labels 1..n."""
+    lab, n = ndimage.label(np.asarray(mask), structure=ndimage.generate_binary_structure(3, 1))
+    return lab.astype(np.uint32), int(n)
+
+
+def watershed_from_seeds(mask: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """Flood labeled seeds through a binary mask (6-connected BFS).
+
+    Equivalent to a geodesic nearest-seed assignment — the reference uses a
+    watershed on the pre-erosion mask with seeds from the eroded mask's
+    components (object_extraction_steps.py:204-260, config
+    ``extract_morph_op`` trailing erosions).
+    """
+    mask = np.asarray(mask).astype(bool)
+    out = np.where(mask, seeds, 0).astype(np.uint32)
+    while True:
+        grown = ndimage.grey_dilation(out, footprint=ndimage.generate_binary_structure(3, 1))
+        newly = (out == 0) & mask & (grown > 0)
+        if not newly.any():
+            break
+        out[newly] = grown[newly]
+    return out
+
+
+def encode_chunk_labels(local_labels: np.ndarray, chunk_index: int) -> np.ndarray:
+    """Offset chunk-local labels into a globally unique uint64 space
+    (reference: make_unique_labels — here a deterministic chunk stride,
+    assuming < 2**24 objects per chunk)."""
+    lab = local_labels.astype(np.uint64)
+    out = np.where(
+        lab != 0, lab + np.uint64(chunk_index) * CHUNK_LABEL_STRIDE, np.uint64(0)
+    )
+    return out
+
+
+def face_merge_pairs(face_a: np.ndarray, face_b: np.ndarray) -> np.ndarray:
+    """Label pairs to merge across a chunk face: voxels where both adjacent
+    labels are nonzero (6-connectivity across the face). Returns (N, 2)."""
+    a = np.asarray(face_a).reshape(-1)
+    b = np.asarray(face_b).reshape(-1)
+    sel = (a != 0) & (b != 0)
+    if not sel.any():
+        return np.zeros((0, 2), dtype=np.uint64)
+    pairs = np.stack([a[sel], b[sel]], axis=1).astype(np.uint64)
+    return np.unique(pairs, axis=0)
+
+
+class UnionFind:
+    """Array-based union-find over arbitrary uint64 keys."""
+
+    def __init__(self, keys: np.ndarray):
+        self.keys = np.unique(np.asarray(keys, dtype=np.uint64))
+        self.parent = np.arange(len(self.keys), dtype=np.int64)
+
+    def _ix(self, ks: np.ndarray) -> np.ndarray:
+        ix = np.searchsorted(self.keys, ks)
+        if len(self.keys) == 0 or not np.all(self.keys[np.clip(ix, 0, len(self.keys) - 1)] == ks):
+            raise KeyError("unknown keys in union-find")
+        return ix
+
+    def find(self, i: int) -> int:
+        root = i
+        while self.parent[root] != root:
+            root = self.parent[root]
+        while self.parent[i] != root:  # path compression
+            self.parent[i], i = root, self.parent[i]
+        return root
+
+    def union_pairs(self, pairs: np.ndarray):
+        if len(pairs) == 0:
+            return
+        ia = self._ix(pairs[:, 0].astype(np.uint64))
+        ib = self._ix(pairs[:, 1].astype(np.uint64))
+        for a, b in zip(ia, ib):
+            ra, rb = self.find(int(a)), self.find(int(b))
+            if ra != rb:
+                self.parent[max(ra, rb)] = min(ra, rb)
+
+    def root_keys(self) -> np.ndarray:
+        roots = np.array([self.find(i) for i in range(len(self.keys))], dtype=np.int64)
+        return self.keys[roots]
+
+
+def merge_pairs_to_map(
+    all_labels: np.ndarray, pairs: np.ndarray, compact: bool = True
+) -> Dict[int, int]:
+    """Global merge map: every encoded label -> final object ID.
+
+    With ``compact`` the final IDs are 1..K in ascending root order
+    (deterministic across runs).
+    """
+    uf = UnionFind(all_labels)
+    uf.union_pairs(pairs)
+    roots = uf.root_keys()
+    if compact:
+        uniq_roots = np.unique(roots)
+        remap = {int(r): i + 1 for i, r in enumerate(uniq_roots)}
+        return {int(k): remap[int(r)] for k, r in zip(uf.keys, roots)}
+    return {int(k): int(r) for k, r in zip(uf.keys, roots)}
