@@ -1,0 +1,238 @@
+"""Contact-site and synapse-fragment extraction — pipeline step 6a.
+
+Reference parity: syconn/extraction/cs_extraction_steps.py —
+``extract_contact_sites`` :44 with chunk worker
+``_contact_site_extraction_thread`` :317 and reduce step
+``_write_props_to_syn_thread`` :498.
+
+Per chunk (+stencil halo): boundary detection + window-majority partner vote
+(ops/contacts, native/XLA kernels) yields the contact-site segmentation
+(labels = packed sorted SV-ID pairs). Each CS is closed/dilated
+(background-only), intersected with the synapse-junction foreground to get
+'syn' fragments, and symmetric/asymmetric type counts are accumulated. The
+reduce phase writes 'cs' and 'syn' SegmentationDatasets (attributes include
+``sym_prop``/``asym_prop`` and voxel coordinate lists for the later
+agglomeration) plus cs/syn label volumes.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import global_params
+from ..backend import AttributeDict, VoxelStorageLazyLoading
+from ..handler.basics import kd_factory
+from ..io.chunked import ChunkedVolume
+from ..ops.contacts import cs_pair_unpack, detect_cs, extract_cs_syntype
+from ..ops.morphology import get_aniso_struct, multi_mop_backgroundonly
+from ..parallel.executor import map_parallel
+from ..reps.rep_helper import subfold_from_ix
+from ..reps.segmentation import SegmentationDataset
+
+log = logging.getLogger("syconn_tpu.cs_extraction")
+
+__all__ = ["extract_contact_sites"]
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def extract_contact_sites(
+    chunk_shape: Optional[Sequence[int]] = None,
+    n_workers: Optional[int] = None,
+    mag: int = 1,
+    n_folders_fs: int = 100,
+) -> Dict:
+    """Extract 'cs' and 'syn' SegmentationDatasets + label volumes."""
+    cfg = global_params.config
+    kd = kd_factory(cfg.kd_seg_path)
+    sh = kd.mag_shape(mag)
+    if chunk_shape is None:
+        chunk_shape = cfg["tpu"]["chunk_shape"]
+    cs = np.minimum(np.asarray(chunk_shape, np.int64), sh)
+    grid = _cdiv(sh, cs)
+    stencil = np.asarray(cfg["cell_objects"]["cs_filtersize"], np.int32)
+    halo = stencil // 2
+    scale = kd.scale * mag
+    struct = get_aniso_struct(scale)
+    n_dil = int(cfg["cell_objects"]["cs_dilation"])
+    sj_thresh = float(cfg["cell_objects"]["probathresholds"]["sj"]) * 255.0
+    syntype_avail = bool(cfg["syntype_avail"])
+
+    kd_sj = kd_factory(cfg.kd_sj_path) if os.path.isdir(cfg.kd_sj_path) else None
+    kd_sym = kd_factory(cfg.kd_sym_path) if syntype_avail and os.path.isdir(cfg.kd_sym_path) else None
+    kd_asym = kd_factory(cfg.kd_asym_path) if syntype_avail and os.path.isdir(cfg.kd_asym_path) else None
+
+    cs_kd = ChunkedVolume.create(
+        os.path.join(str(cfg.working_dir), "knossosdatasets", "cs_seg"),
+        scale=scale, boundary=sh, chunk_shape=tuple(int(c) for c in cs),
+    )
+    syn_kd = ChunkedVolume.create(
+        os.path.join(str(cfg.working_dir), "knossosdatasets", "syn_seg"),
+        scale=scale, boundary=sh, chunk_shape=tuple(int(c) for c in cs),
+    )
+
+    chunk_ixs = [
+        (cx, cy, cz) for cx in range(grid[0]) for cy in range(grid[1]) for cz in range(grid[2])
+    ]
+
+    def work(cix):
+        off = np.array(cix) * cs
+        size = np.minimum(cs, sh - off)
+        seg = kd.load_seg(offset=off - halo, size=size + 2 * halo, mag=mag)
+        if seg.max() < 2**32:
+            cs_seg = detect_cs(seg.astype(np.uint32), stencil=stencil)
+        else:
+            from ..ops.contacts import detect_cs_64bit
+
+            partners = detect_cs_64bit(seg, stencil=stencil)
+            cs_seg = (partners[..., 0] << np.uint64(32)) | partners[..., 1]
+        # close + dilate each contact site into background only
+        n_close = int(np.max(stencil // 2))
+        if n_close > 0:
+            cs_seg = multi_mop_backgroundonly("binary_closing", cs_seg, iterations=n_close, struct=struct)
+        if n_dil > 0:
+            cs_seg = multi_mop_backgroundonly("binary_dilation", cs_seg, iterations=n_dil, struct=struct)
+        # synapse-junction foreground + type maps
+        if kd_sj is not None:
+            sj_fg = (kd_sj.load_raw(offset=off, size=size, mag=mag) >= sj_thresh).astype(np.uint8)
+        else:
+            sj_fg = np.zeros(tuple(size), np.uint8)
+        if kd_sym is not None and kd_asym is not None:
+            sym = (kd_sym.load_raw(offset=off, size=size, mag=mag) >= 128).astype(np.uint8)
+            asym = (kd_asym.load_raw(offset=off, size=size, mag=mag) >= 128).astype(np.uint8)
+        else:
+            sym = np.zeros(tuple(size), np.uint8)
+            asym = np.zeros(tuple(size), np.uint8)
+        cs_props, syn_props, cs_asym, cs_sym, voxels_syn = extract_cs_syntype(
+            cs_seg, sj_fg, asym, sym, offset=off
+        )
+        cs_kd.save_seg(cs_seg, offset=off, mags=(mag,), data_mag=mag)
+        syn_kd.save_seg(cs_seg * (sj_fg > 0), offset=off, mags=(mag,), data_mag=mag)
+        return off, cs_props, syn_props, cs_asym, cs_sym, voxels_syn
+
+    results = map_parallel(work, chunk_ixs, n_workers=n_workers, desc="extract_contact_sites")
+
+    # --------------------------------------------------------------- reduce
+    def merge_props(prop_key):
+        rep: Dict[int, np.ndarray] = {}
+        bb: Dict[int, np.ndarray] = {}
+        sz: Dict[int, int] = defaultdict(int)
+        for off, cs_p, syn_p, *_ in results:
+            rd, bd, sd_ = (cs_p if prop_key == "cs" else syn_p)
+            for k in sd_:
+                gbb = bd[k] + off[None]
+                if k in bb:
+                    bb[k] = np.array(
+                        [np.minimum(bb[k][0], gbb[0]), np.maximum(bb[k][1], gbb[1])]
+                    )
+                else:
+                    bb[k] = gbb
+                    rep[k] = rd[k] + off
+                sz[k] += sd_[k]
+        return rep, bb, sz
+
+    cs_rep, cs_bb, cs_sz = merge_props("cs")
+    syn_rep, syn_bb, syn_sz = merge_props("syn")
+    asym_tot: Dict[int, int] = defaultdict(int)
+    sym_tot: Dict[int, int] = defaultdict(int)
+    vox_tot: Dict[int, List[np.ndarray]] = defaultdict(list)
+    for off, _, _, cs_a, cs_s, vx in results:
+        for k, v in cs_a.items():
+            asym_tot[k] += v
+        for k, v in cs_s.items():
+            sym_tot[k] += v
+        for k, coords in vx.items():
+            vox_tot[k].append(coords)
+
+    min_cs = int(cfg["cell_objects"]["min_obj_vx"].get("cs", 1))
+    min_syn = int(cfg["cell_objects"]["min_obj_vx"].get("syn", 1))
+
+    # ------------------------------------------------------- write datasets
+    cs_path = os.path.join(str(cfg.working_dir), "knossosdatasets", "cs_seg")
+    _write_partner_sd(
+        "cs", cs_rep, cs_bb, cs_sz, None, None, None, min_cs, n_folders_fs, cs_path, n_workers
+    )
+    _write_partner_sd(
+        "syn", syn_rep, syn_bb, syn_sz, asym_tot, sym_tot, vox_tot, min_syn, n_folders_fs,
+        os.path.join(str(cfg.working_dir), "knossosdatasets", "syn_seg"), n_workers,
+    )
+    n_cs = sum(1 for k, v in cs_sz.items() if v >= min_cs)
+    n_syn = sum(1 for k, v in syn_sz.items() if v >= min_syn)
+    log.info("extract_contact_sites: %d cs, %d syn fragments", n_cs, n_syn)
+    return {"n_cs": n_cs, "n_syn": n_syn}
+
+
+def _write_partner_sd(
+    obj_type: str,
+    rep, bb, sz,
+    asym_tot, sym_tot, vox_tot,
+    min_vx: int,
+    n_folders_fs: int,
+    voxeldata_path: str,
+    n_workers,
+):
+    cfg = global_params.config
+    sd = SegmentationDataset(
+        obj_type, working_dir=cfg.working_dir, n_folders_fs=n_folders_fs, create=True
+    )
+    ids = np.array(sorted(k for k, v in sz.items() if v >= min_vx), np.uint64)
+    by_shard = defaultdict(list)
+    for oid in ids:
+        by_shard[subfold_from_ix(int(oid), n_folders_fs)].append(int(oid))
+
+    def write_shard(item):
+        shard, oids = item
+        shard_dir = os.path.join(sd.so_storage_path, shard.strip("/"))
+        os.makedirs(shard_dir, exist_ok=True)
+        ad = AttributeDict(os.path.join(shard_dir, "attr_dict.pkl"), read_only=False, disable_locking=True)
+        vl = (
+            VoxelStorageLazyLoading(os.path.join(shard_dir, "voxel_lazy.npz"))
+            if vox_tot is not None
+            else None
+        )
+        for oid in oids:
+            lo, hi = cs_pair_unpack(np.array([oid], np.uint64))
+            attrs = {
+                "id": oid,
+                "size": int(sz[oid]),
+                "rep_coord": np.asarray(rep[oid], np.int64),
+                "bounding_box": np.asarray(bb[oid], np.int64),
+                "partner_ids": np.array([int(lo[0]), int(hi[0])], np.uint64),
+            }
+            if obj_type == "syn":
+                n_a = int(asym_tot.get(oid, 0))
+                n_s = int(sym_tot.get(oid, 0))
+                total = max(int(sz[oid]), 1)
+                attrs["asym_prop"] = n_a / total
+                attrs["sym_prop"] = n_s / total
+                attrs["cs_id"] = oid
+            ad[oid] = attrs
+            if vl is not None:
+                coords = np.concatenate(vox_tot[oid]) if vox_tot[oid] else np.zeros((0, 3), np.int64)
+                vl[oid] = coords
+        ad.push()
+        if vl is not None:
+            vl.push()
+
+    map_parallel(write_shard, list(by_shard.items()), n_workers=n_workers, desc=f"write_{obj_type}")
+    sd.save_numpy_data("id", ids)
+    sd.save_numpy_data("size", np.array([sz[int(i)] for i in ids], np.int64))
+    sd.save_numpy_data("rep_coord", np.array([rep[int(i)] for i in ids], np.int64).reshape(-1, 3))
+    sd.save_numpy_data(
+        "bounding_box", np.array([bb[int(i)] for i in ids], np.int64).reshape(-1, 2, 3)
+    )
+    if obj_type == "syn":
+        total = np.array([max(sz[int(i)], 1) for i in ids], np.float64)
+        sd.save_numpy_data(
+            "asym_prop", np.array([asym_tot.get(int(i), 0) for i in ids]) / total
+        )
+        sd.save_numpy_data(
+            "sym_prop", np.array([sym_tot.get(int(i), 0) for i in ids]) / total
+        )

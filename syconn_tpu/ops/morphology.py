@@ -67,20 +67,40 @@ def multi_mop_backgroundonly(
 ) -> np.ndarray:
     """Apply closing/dilation per label such that only background voxels are
     (re-)assigned — existing foreground labels are never overwritten
-    (reference: proc/image.py:459, used for per-CS closing+dilation)."""
+    (reference: proc/image.py:459, used for per-CS closing+dilation).
+
+    Works on per-label bounding-box crops (padded by the operation's
+    support) so cost scales with object size, not volume size.
+    """
     seg = np.asarray(seg)
     out = seg.copy()
-    labels = np.unique(seg)
-    labels = labels[labels != 0]
-    for lab in labels:
-        mask = seg == lab
+    # compact labels for find_objects
+    uniq, inv = np.unique(seg, return_inverse=True)
+    compact = inv.reshape(seg.shape).astype(np.int64)
+    if uniq[0] != 0:
+        compact += 1
+        uniq = np.concatenate([[0], uniq])
+    slices = ndimage.find_objects(compact)
+    pad = iterations * (max(struct.shape) // 2 if struct is not None else 1) + 1
+    for k, lab in enumerate(uniq):
+        if lab == 0:
+            continue
+        sl = slices[k - 1]
+        if sl is None:
+            continue
+        psl = tuple(
+            slice(max(0, s.start - pad), min(seg.shape[d], s.stop + pad))
+            for d, s in enumerate(sl)
+        )
+        mask = seg[psl] == lab
         if op_name == "binary_closing":
             grown = ndimage.binary_closing(mask, structure=struct, iterations=iterations)
         elif op_name == "binary_dilation":
             grown = ndimage.binary_dilation(mask, structure=struct, iterations=iterations)
         else:
             raise ValueError(op_name)
-        out[grown & (out == 0)] = lab
+        region = out[psl]
+        region[grown & (region == 0)] = lab
     return out
 
 

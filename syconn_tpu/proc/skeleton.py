@@ -1,0 +1,187 @@
+"""Cell skeleton generation: cube-parallel TEASAR + cross-cube merge.
+
+Reference parity: syconn/proc/skeleton.py — ``kimimaro_skelgen`` :21 (load
+seg cube, relabel SV -> SSV, skeletonize, downsample/sparsify) and
+``kimimaro_mergeskels`` :89 (per-cell fragment merge + stitch), plus myelin
+mapping (super_segmentation_helper.py:550 ``map_myelin2coords``) and the
+sliding-window property smoothing (ssh:1270
+``majorityvote_skeleton_property``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence
+
+import networkx as nx
+import numpy as np
+
+from .. import global_params
+from ..handler.basics import kd_factory
+from ..ops.contacts import relabel_vol_nonexist2zero
+from ..parallel.executor import map_parallel
+from ..reps.super_segmentation import SuperSegmentationDataset
+from ..skeleton.sparsify import merge_skeletons, prune_stub_branches, skeleton_to_nx, sparsify_skeleton
+from ..skeleton.teasar import skeletonize_volume
+
+log = logging.getLogger("syconn_tpu.skeleton")
+
+__all__ = [
+    "skelgen_cube",
+    "generate_skeletons",
+    "map_myelin2coords",
+    "majorityvote_skeleton_property",
+]
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def skelgen_cube(
+    cube_offset: np.ndarray,
+    cube_size: np.ndarray,
+    sv2ssv: Dict[int, int],
+    downsample: int = 2,
+    dust_threshold_vx: int = 0,
+    mag: int = 1,
+) -> Dict[int, dict]:
+    """Per-cube skeleton fragments keyed by SSV id (reference: :21)."""
+    cfg = global_params.config
+    kd = kd_factory(cfg.kd_seg_path)
+    seg = kd.load_seg(offset=cube_offset, size=cube_size, mag=mag)
+    # relabel SV -> SSV (unknown SVs -> 0)
+    present = np.unique(seg)
+    mapping = {int(p): sv2ssv[int(p)] for p in present if int(p) in sv2ssv}
+    seg = relabel_vol_nonexist2zero(seg, mapping)
+    scale = kd.scale * mag
+    skels = skeletonize_volume(
+        seg,
+        offset=cube_offset,
+        scale=scale,
+        dust_threshold_vx=dust_threshold_vx,
+        downsample=downsample,
+    )
+    return skels
+
+
+def generate_skeletons(
+    cube_size: Optional[Sequence[int]] = None,
+    n_workers: Optional[int] = None,
+    downsample: int = 2,
+    mag: int = 1,
+) -> int:
+    """Skeletonize all cells: cube fan-out, per-cell merge + sparsify,
+    persist via the SSVs' SkeletonStorage. Returns #cells skeletonized."""
+    cfg = global_params.config
+    ssd = SuperSegmentationDataset(working_dir=cfg.working_dir)
+    sv2ssv = {
+        int(s): int(ssv) for ssv, svs in ssd.mapping_dict.items() for s in svs
+    }
+    kd = kd_factory(cfg.kd_seg_path)
+    sh = kd.mag_shape(mag)
+    if cube_size is None:
+        cube_size = cfg["tpu"]["chunk_shape"]
+    cs = np.minimum(np.asarray(cube_size, np.int64), sh)
+    grid = _cdiv(sh, cs)
+    dust = int(cfg["skeleton"]["kimimaro_skelgen"]["dust_threshold"])
+    scale = kd.scale * mag
+
+    cubes = [
+        np.array([cx, cy, cz]) * cs
+        for cx in range(grid[0])
+        for cy in range(grid[1])
+        for cz in range(grid[2])
+    ]
+
+    def work(off):
+        size = np.minimum(cs, sh - off)
+        return skelgen_cube(off, size, sv2ssv, downsample=downsample, dust_threshold_vx=0, mag=mag)
+
+    frags: Dict[int, List[dict]] = defaultdict(list)
+    for res in map_parallel(work, cubes, n_workers=n_workers, desc="skelgen"):
+        for ssv_id, sk in res.items():
+            frags[ssv_id].append(sk)
+
+    dust_nm = float(cfg["skeleton"]["kimimaro_merge"]["dust_threshold"])
+    tick_nm = float(cfg["skeleton"]["kimimaro_merge"]["tick_threshold"])
+
+    def merge_one(item):
+        ssv_id, parts = item
+        sk = merge_skeletons(parts, scale=scale, stitch=True)
+        if sk is None:
+            return 0
+        sk = sparsify_skeleton(sk, scale=scale, min_dist_nm=dust_nm / 4)
+        if len(sk["nodes"]) > 3:
+            sk = prune_stub_branches(sk, scale=scale, len_thres_nm=tick_nm)
+        if len(sk["nodes"]) == 0:
+            return 0
+        ssv = ssd.get_super_segmentation_object(int(ssv_id))
+        ssv.skeleton = sk
+        os.makedirs(ssv.ssv_dir, exist_ok=True)
+        ssv.save_skeleton()
+        return 1
+
+    done = sum(map_parallel(merge_one, sorted(frags.items()), n_workers=n_workers, desc="skelmerge"))
+    log.info("generate_skeletons: %d cells", done)
+    return done
+
+
+def map_myelin2coords(
+    coords_vx: np.ndarray, mag: int = 1, thresh: float = 128.0
+) -> np.ndarray:
+    """Myelin flag per coordinate by probing the myelin prediction volume
+    (reference: super_segmentation_helper.py:550)."""
+    cfg = global_params.config
+    kd = kd_factory(cfg.kd_myelin_path)
+    coords = np.asarray(coords_vx, np.int64) // mag
+    msh = kd.mag_shape(mag)
+    coords = np.clip(coords, 0, msh - 1)
+    out = np.zeros(len(coords), np.uint8)
+    # group point probes by chunk to bound IO
+    cs = kd.chunk_shape
+    keys = tuple((coords // cs).T)
+    order = np.lexsort(keys)
+    sorted_coords = coords[order]
+    chunk_of = sorted_coords // cs
+    boundaries = np.any(np.diff(chunk_of, axis=0) != 0, axis=1)
+    starts = np.concatenate([[0], np.flatnonzero(boundaries) + 1, [len(sorted_coords)]])
+    for si in range(len(starts) - 1):
+        sl = slice(starts[si], starts[si + 1])
+        pts = sorted_coords[sl]
+        lo = pts.min(axis=0)
+        hi = pts.max(axis=0) + 1
+        cube = kd.load_raw(offset=lo, size=hi - lo, mag=mag)
+        rel = pts - lo[None]
+        out[order[sl]] = (cube[rel[:, 0], rel[:, 1], rel[:, 2]] >= thresh).astype(np.uint8)
+    return out
+
+
+def majorityvote_skeleton_property(
+    skel: dict, prop: str, max_dist_nm: float, scale
+) -> np.ndarray:
+    """Sliding-window majority vote of a per-node property along the
+    skeleton graph (reference: ssh:1270). Returns the smoothed values."""
+    g = skeleton_to_nx(skel)
+    scale = np.asarray(scale, np.float64)
+    vals = np.asarray(skel[prop])
+    pos = np.asarray(skel["nodes"], np.float64) * scale[None]
+    out = vals.copy()
+    for n in g.nodes():
+        # geodesic ball via Dijkstra with euclidean edge lengths
+        seen = {n: 0.0}
+        frontier = [n]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in g.neighbors(u):
+                    d = seen[u] + float(np.linalg.norm(pos[u] - pos[v]))
+                    if d <= max_dist_nm / 2 and (v not in seen or d < seen[v]):
+                        seen[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        member_vals = vals[list(seen.keys())].astype(np.int64)
+        out[n] = np.bincount(member_vals).argmax()
+    return out
