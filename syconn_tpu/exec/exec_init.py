@@ -118,9 +118,10 @@ def run_create_neuron_ssd(overwrite: bool = False, apply_ssv_size_threshold: boo
     per-cell SV graphs and organelle mappings (reference: exec_init.py:32)."""
     lg = initialize_logging("exec_init")
     cfg = global_params.config
-    path = cfg.pruned_svgraph_path
+    # after astrocyte splitting the neuron-only graph takes precedence
+    path = cfg.neuron_svgraph_path
     if not os.path.isfile(path):
-        path = cfg.neuron_svgraph_path
+        path = cfg.pruned_svgraph_path
     g = load_svgraph(path)
     mapping = {}
     for comp in nx.connected_components(g):

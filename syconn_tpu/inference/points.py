@@ -1,0 +1,407 @@
+"""Point-cloud inference over cell reconstructions.
+
+Rebuild of the reference's producer/consumer point pipeline
+(reference: syconn/handler/prediction_pts.py — ``predict_pts_plain`` :294,
+context loaders :591-2248, ``sso2hc`` :2452, certainty :931). TPU-first
+shape discipline: every context is a fixed-size (npoints, 3+F) cloud, so
+one jitted forward serves every cell; host threads build contexts while the
+device consumes batches (async dispatch, as in inference/dense.py).
+
+Feature channels (one-hot): cell surface, mi, vc, sj/syn_ssv.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import spatial
+
+from .. import global_params
+from ..parallel.executor import map_parallel
+
+log = logging.getLogger("syconn_tpu.points")
+
+__all__ = [
+    "certainty_estimate",
+    "sso2pointcloud",
+    "extract_contexts",
+    "ContextPredictor",
+    "predict_celltype_ssd",
+    "predict_glia_ssv",
+    "predict_compartments_ssd",
+    "infere_cell_morphology_ssd",
+]
+
+FEATURE_TYPES = ["sv", "mi", "vc", "sj"]
+
+
+def certainty_estimate(logits: np.ndarray, is_logit: bool = True) -> float:
+    """1 - normalized entropy of the (averaged) class distribution
+    (reference: handler/prediction.py:1197)."""
+    arr = np.asarray(logits, np.float64)
+    if arr.ndim == 2:
+        arr = arr.mean(axis=0)
+    if is_logit:
+        e = np.exp(arr - arr.max())
+        p = e / e.sum()
+    else:
+        p = arr / max(arr.sum(), 1e-12)
+    p = np.clip(p, 1e-12, 1.0)
+    ent = -(p * np.log(p)).sum() / np.log(len(p))
+    return float(1.0 - ent)
+
+
+def sso2pointcloud(
+    ssv,
+    feats: Sequence[str] = FEATURE_TYPES,
+    max_points_per_type: int = 200_000,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Cell -> labeled point cloud (reference: prediction_pts.py:2452).
+
+    Returns (coords_nm (N, 3), type_index (N,)).
+    """
+    coords, types = [], []
+    for ti, t in enumerate(feats):
+        try:
+            if t == "sj" and "syn_ssv" not in (ssv.attr_dict or {}):
+                ssv.load_attr_dict()
+            use_t = t
+            if t == "sj" and len(ssv.attr_dict.get("syn_ssv", [])) > 0:
+                use_t = "syn_ssv"
+            mesh = ssv.load_mesh(use_t)
+        except Exception:
+            continue
+        if mesh is None or len(mesh[1]) == 0:
+            continue
+        v = np.asarray(mesh[1], np.float32).reshape(-1, 3)
+        if len(v) > max_points_per_type:
+            sel = np.linspace(0, len(v) - 1, max_points_per_type).astype(np.int64)
+            v = v[sel]
+        coords.append(v)
+        types.append(np.full(len(v), ti, np.int32))
+    if not coords:
+        return np.zeros((0, 3), np.float32), np.zeros(0, np.int32)
+    return np.concatenate(coords), np.concatenate(types)
+
+
+def extract_contexts(
+    coords_nm: np.ndarray,
+    types: np.ndarray,
+    ctx_size_nm: float = 20_000.0,
+    npoints: int = 2048,
+    n_contexts: Optional[int] = None,
+    rng: Optional[np.random.Generator] = None,
+    centers_nm: Optional[np.ndarray] = None,
+    n_feat: int = 4,
+) -> Tuple[np.ndarray, List[np.ndarray]]:
+    """Fixed-size local contexts from a labeled point cloud.
+
+    Returns (contexts (M, npoints, 3 + n_feat), per-context source indices
+    into ``coords_nm`` for vote-back).
+    """
+    if rng is None:
+        rng = np.random.default_rng(0)
+    if len(coords_nm) == 0:
+        return np.zeros((0, npoints, 3 + n_feat), np.float32), []
+    cell_pts = coords_nm[types == 0] if (types == 0).any() else coords_nm
+    if centers_nm is None:
+        if n_contexts is None:
+            # cover the cell surface: one context per ~half context volume
+            from ..reps.rep_helper import surface_samples
+
+            centers_nm = surface_samples(
+                cell_pts, bin_sizes=(ctx_size_nm / 2,) * 3, max_nb_samples=64
+            )
+        else:
+            sel = rng.choice(len(cell_pts), size=min(n_contexts, len(cell_pts)), replace=False)
+            centers_nm = cell_pts[sel]
+    tree = spatial.cKDTree(coords_nm)
+    ctxs = np.zeros((len(centers_nm), npoints, 3 + n_feat), np.float32)
+    idx_lists = []
+    for i, c in enumerate(centers_nm):
+        ixs = tree.query_ball_point(c, ctx_size_nm / 2)
+        if len(ixs) == 0:
+            _, nn = tree.query(c, k=min(npoints, len(coords_nm)))
+            ixs = np.atleast_1d(nn).tolist()
+        ixs = np.asarray(ixs, np.int64)
+        if len(ixs) >= npoints:
+            ixs = rng.choice(ixs, size=npoints, replace=False)
+        else:
+            pad = rng.choice(ixs, size=npoints - len(ixs), replace=True)
+            ixs = np.concatenate([ixs, pad])
+        pts = (coords_nm[ixs] - c[None]) / (ctx_size_nm / 2)
+        onehot = np.zeros((npoints, n_feat), np.float32)
+        onehot[np.arange(npoints), np.clip(types[ixs], 0, n_feat - 1)] = 1.0
+        ctxs[i, :, :3] = pts
+        ctxs[i, :, 3:] = onehot
+        idx_lists.append(ixs)
+    return ctxs, idx_lists
+
+
+class ContextPredictor:
+    """Jitted fixed-shape forward over context batches."""
+
+    def __init__(self, model, params, npoints: int = 2048, n_feat: int = 4, batch: int = 8):
+        self.model = model
+        self.batch = batch
+        self.npoints = npoints
+        self.n_feat = n_feat
+        self._params = jax.device_put(params)
+
+        @jax.jit
+        def fwd(params, x):
+            return model.apply({"params": params}, x)
+
+        self._fwd = fwd
+
+    def predict(self, ctxs: np.ndarray):
+        """Run all contexts (padding the last batch); returns outputs with
+        leading dim == len(ctxs)."""
+        n = len(ctxs)
+        if n == 0:
+            return None
+        outs = []
+        for i in range(0, n, self.batch):
+            chunk = ctxs[i : i + self.batch]
+            if len(chunk) < self.batch:
+                pad = np.zeros((self.batch - len(chunk),) + chunk.shape[1:], chunk.dtype)
+                chunk = np.concatenate([chunk, pad])
+            out = self._fwd(self._params, jnp.asarray(chunk))
+            outs.append(jax.tree.map(np.asarray, out))
+        merged = jax.tree.map(lambda *xs: np.concatenate(xs)[:n], *outs)
+        return merged
+
+
+# ------------------------------------------------------------ task drivers
+def _get_point_model(mpath: str, builder):
+    from ..models.io import get_or_init_model
+
+    return get_or_init_model(mpath, builder)
+
+
+def predict_celltype_ssd(
+    ssd=None, ssv_ids=None, npoints: int = 2048, ctx_size_nm: float = 20_000.0,
+    n_contexts: int = 8, pred_key: str = "celltype_cnn_e3",
+):
+    """Celltype per cell: average context logits + certainty
+    (reference: prediction_pts.py:1847 + :931)."""
+    from ..models.pointnet import PointClassNet
+    from ..reps.super_segmentation import SuperSegmentationDataset
+
+    cfg = global_params.config
+    if ssd is None:
+        ssd = SuperSegmentationDataset(working_dir=cfg.working_dir)
+    if ssv_ids is None:
+        ssv_ids = ssd.ssv_ids
+    model, params = _get_point_model(
+        cfg.mpath_celltype_pts, lambda: (PointClassNet(n_classes=8), (1, npoints, 7))
+    )
+    pred = ContextPredictor(model, params, npoints=npoints)
+
+    def work(ssv_id):
+        ssv = ssd.get_super_segmentation_object(int(ssv_id))
+        coords, types = sso2pointcloud(ssv)
+        if len(coords) == 0:
+            return 0
+        ctxs, _ = extract_contexts(
+            coords, types, ctx_size_nm=ctx_size_nm, npoints=npoints, n_contexts=n_contexts,
+            rng=np.random.default_rng(int(ssv_id)),
+        )
+        out = pred.predict(ctxs)
+        logits = out["logits"]
+        mean_logits = logits.mean(axis=0)
+        ssv.load_attr_dict()
+        ssv.attr_dict[pred_key] = int(np.argmax(mean_logits))
+        ssv.attr_dict[f"{pred_key}_probas"] = logits
+        ssv.attr_dict[f"{pred_key}_certainty"] = certainty_estimate(logits)
+        ssv.save_attr_dict()
+        return 1
+
+    n = sum(map_parallel(work, list(ssv_ids), n_workers=4, desc="celltype_pts"))
+    # dataset-level cache
+    cts = []
+    for i in ssd.ssv_ids:
+        s = ssd.get_super_segmentation_object(int(i))
+        cts.append(s.lookup_in_attribute_dict(pred_key, -1))
+    ssd.save_numpy_data("celltype_cnn_e3", np.array(cts, np.int64))
+    log.info("celltype predicted for %d cells", n)
+    return n
+
+
+def predict_glia_ssv(
+    ssv_ids=None, ssd=None, npoints: int = 2048, ctx_size_nm: float = 15_000.0,
+):
+    """Per-SV glia probability: per-point semseg votes projected back to SV
+    vertices (reference: prediction_pts.py:1769 + :1342)."""
+    from ..models.pointnet import PointSegNet
+    from ..reps.segmentation import SegmentationDataset
+    from ..reps.super_segmentation import SuperSegmentationDataset
+
+    cfg = global_params.config
+    if ssd is None:
+        ssd = SuperSegmentationDataset(working_dir=cfg.working_dir)
+    if ssv_ids is None:
+        ssv_ids = ssd.ssv_ids
+    model, params = _get_point_model(
+        cfg.mpath_glia_pts, lambda: (PointSegNet(n_classes=2), (1, npoints, 7))
+    )
+    pred = ContextPredictor(model, params, npoints=npoints)
+    sd_sv = SegmentationDataset("sv", working_dir=cfg.working_dir)
+
+    def work(ssv_id):
+        ssv = ssd.get_super_segmentation_object(int(ssv_id))
+        votes: Dict[int, List[float]] = {}
+        for sv in ssv.svs:
+            mesh = sv.mesh
+            if mesh is None or len(mesh[1]) == 0:
+                votes[sv.id] = [0.0]
+                continue
+            v = mesh[1].reshape(-1, 3)
+            types = np.zeros(len(v), np.int32)
+            ctxs, idx_lists = extract_contexts(
+                v, types, ctx_size_nm=ctx_size_nm, npoints=npoints,
+                rng=np.random.default_rng(sv.id),
+            )
+            out = pred.predict(ctxs)
+            if out is None:
+                votes[sv.id] = [0.0]
+                continue
+            probs = np.exp(out) / np.exp(out).sum(-1, keepdims=True)
+            votes[sv.id] = [float(probs[..., 1].mean())]
+        for sv_id, p in votes.items():
+            so = sd_sv.get_segmentation_object(int(sv_id))
+            so.load_attr_dict()
+            so.attr_dict["glia_probas"] = float(np.mean(p))
+            so.save_attr_dict()
+        return len(votes)
+
+    n = sum(map_parallel(work, list(ssv_ids), n_workers=4, desc="glia_pts"))
+    log.info("glia probas for %d SVs", n)
+    return n
+
+
+def predict_compartments_ssd(
+    ssd=None, ssv_ids=None, npoints: int = 2048, ctx_size_nm: float = 20_000.0,
+    skel_key: str = "axoness", n_classes: int = 3, mpath: str = None,
+):
+    """Axon/dendrite/soma semseg per vertex -> skeleton nodes
+    (reference: prediction_pts.py:1904 + :2248 and
+    super_segmentation_object.py:3497 ``semsegaxoness2skel``)."""
+    from ..models.pointnet import PointSegNet
+    from ..proc.skeleton import majorityvote_skeleton_property
+    from ..reps.super_segmentation import SuperSegmentationDataset
+
+    cfg = global_params.config
+    if ssd is None:
+        ssd = SuperSegmentationDataset(working_dir=cfg.working_dir)
+    if ssv_ids is None:
+        ssv_ids = ssd.ssv_ids
+    if mpath is None:
+        mpath = cfg.mpath_compartment_pts
+    model, params = _get_point_model(
+        mpath, lambda: (PointSegNet(n_classes=n_classes), (1, npoints, 7))
+    )
+    pred = ContextPredictor(model, params, npoints=npoints)
+    scale = np.array(cfg["scaling"], np.float64)
+    window = float(cfg["compartments"]["dist_axoness_averaging"])
+    k_map = int(cfg["compartments"]["map_properties_semsegax"]["k"])
+
+    def work(ssv_id):
+        ssv = ssd.get_super_segmentation_object(int(ssv_id))
+        if not ssv.load_skeleton():
+            return 0
+        coords, types = sso2pointcloud(ssv)
+        if len(coords) == 0:
+            return 0
+        ctxs, idx_lists = extract_contexts(
+            coords, types, ctx_size_nm=ctx_size_nm, npoints=npoints,
+            rng=np.random.default_rng(int(ssv_id)),
+        )
+        out = pred.predict(ctxs)  # (M, npoints, C)
+        n_cls = out.shape[-1]
+        vote = np.zeros((len(coords), n_cls), np.float32)
+        for m, ixs in enumerate(idx_lists):
+            probs = np.exp(out[m]) / np.exp(out[m]).sum(-1, keepdims=True)
+            np.add.at(vote, ixs, probs)
+        labeled = vote.sum(-1) > 0
+        vert_labels = np.argmax(vote, axis=-1)
+        # map to skeleton nodes via k nearest labeled vertices
+        sk = ssv.skeleton
+        nodes_nm = np.asarray(sk["nodes"], np.float64) * scale[None]
+        lv = coords[labeled]
+        ll = vert_labels[labeled]
+        if len(lv) == 0:
+            return 0
+        tree = spatial.cKDTree(lv)
+        kq = min(max(k_map, 1), len(lv))
+        _, ixs = tree.query(nodes_nm, k=kq)
+        ixs = np.atleast_2d(ixs)
+        node_labels = np.array(
+            [np.bincount(ll[row].astype(np.int64), minlength=n_cls).argmax() for row in ixs],
+            np.int64,
+        )
+        sk[skel_key] = node_labels
+        sk[f"{skel_key}_avg10000"] = majorityvote_skeleton_property(sk, skel_key, window, scale)
+        ssv.skeleton = sk
+        ssv.save_skeleton()
+        return 1
+
+    n = sum(map_parallel(work, list(ssv_ids), n_workers=4, desc="compartments_pts"))
+    log.info("compartments predicted for %d cells", n)
+    return n
+
+
+def infere_cell_morphology_ssd(
+    ssd=None, ssv_ids=None, npoints: int = 2048, ctx_size_nm: float = 20_000.0,
+    pred_key: str = "latent_morph",
+):
+    """Unsupervised morphology embedding per cell (tCMN analog;
+    reference: prediction_pts.py:1808)."""
+    from ..models.pointnet import PointClassNet
+    from ..reps.super_segmentation import SuperSegmentationDataset
+
+    cfg = global_params.config
+    if ssd is None:
+        ssd = SuperSegmentationDataset(working_dir=cfg.working_dir)
+    if ssv_ids is None:
+        ssv_ids = ssd.ssv_ids
+    ndim = int(cfg["tcmn"]["ndim_embedding"])
+    model, params = _get_point_model(
+        cfg.mpath_tnet_pts,
+        lambda: (PointClassNet(n_classes=2, embed_dim=ndim), (1, npoints, 7)),
+    )
+    pred = ContextPredictor(model, params, npoints=npoints)
+
+    def work(ssv_id):
+        ssv = ssd.get_super_segmentation_object(int(ssv_id))
+        coords, types = sso2pointcloud(ssv)
+        if len(coords) == 0:
+            return 0
+        ctxs, _ = extract_contexts(
+            coords, types, ctx_size_nm=ctx_size_nm, npoints=npoints, n_contexts=8,
+            rng=np.random.default_rng(int(ssv_id)),
+        )
+        out = pred.predict(ctxs)
+        z = out["embedding"].mean(axis=0)
+        ssv.load_attr_dict()
+        ssv.attr_dict[pred_key] = z.astype(np.float32)
+        ssv.save_attr_dict()
+        return 1
+
+    n = sum(map_parallel(work, list(ssv_ids), n_workers=4, desc="morphology_pts"))
+    log.info("morphology embeddings for %d cells", n)
+    return n
+
+
+def predict_celltype_sso(ssv, **kw):
+    """Single-cell convenience wrapper."""
+    from ..reps.super_segmentation import SuperSegmentationDataset
+
+    ssd = ssv._ssd or SuperSegmentationDataset(working_dir=ssv.working_dir)
+    predict_celltype_ssd(ssd=ssd, ssv_ids=[ssv.id], **kw)
+    ssv.load_attr_dict()
+    return ssv.attr_dict.get("celltype_cnn_e3")

@@ -1,0 +1,104 @@
+"""Point-cloud models for cell-level inference (celltype, glia,
+compartments, morphology embeddings).
+
+Replaces the reference's LightConvPoint/MorphX point models
+(reference: syconn/handler/prediction_pts.py:1698-1767 model factories;
+training scripts syconn/cnn/cnn_celltype_ptcnv*.py etc.) with a TPU-first
+design: fixed-size point contexts (static shapes for XLA), per-point MLPs
+on the MXU, and symmetric global pooling — a PointNet-style backbone with a
+local-neighborhood aggregation stage (kNN gather + max) that captures local
+geometry without dynamic structures.
+
+Inputs are (B, N, 3 + F): normalized xyz + feature channels (one-hot object
+type: cell surface / mitochondrion / vesicle cloud / synapse, plus optional
+myelin flag — reference: prediction_pts.py:2452 ``sso2hc``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["PointClassNet", "PointSegNet", "knn_group"]
+
+
+def knn_group(xyz: jnp.ndarray, feats: jnp.ndarray, k: int = 16) -> jnp.ndarray:
+    """Aggregate each point's k nearest neighbors' features (max pool).
+
+    Dense distance matrix (N x N) — contexts are <= 4096 points, so this
+    maps onto the MXU instead of irregular gather structures.
+    """
+    d2 = jnp.sum((xyz[:, :, None, :] - xyz[:, None, :, :]) ** 2, axis=-1)  # (B,N,N)
+    _, idx = jax.lax.top_k(-d2, k)  # (B, N, k)
+    grouped = jnp.take_along_axis(
+        feats[:, None, :, :].repeat(feats.shape[1], axis=1), idx[..., None], axis=2
+    )  # (B, N, k, C)
+    return jnp.max(grouped, axis=2)
+
+
+class _PointBackbone(nn.Module):
+    widths: Sequence[int] = (64, 128, 256)
+    k: int = 16
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, pts):
+        xyz = pts[..., :3].astype(jnp.float32)
+        h = pts.astype(self.dtype)
+        for i, w in enumerate(self.widths):
+            h = nn.Dense(w, dtype=self.dtype)(h)
+            h = nn.LayerNorm(dtype=jnp.float32)(h).astype(self.dtype)
+            h = nn.gelu(h)
+            if i == 0:
+                # one local-geometry aggregation stage
+                h = jnp.concatenate([h, knn_group(xyz, h, self.k)], axis=-1)
+        return h  # (B, N, widths[-1] [+ widths[0] from concat])
+
+
+class PointClassNet(nn.Module):
+    """Whole-context classification / embedding net (celltype, glia,
+    triplet morphology embeddings)."""
+
+    n_classes: int = 8
+    widths: Sequence[int] = (64, 128, 256)
+    k: int = 16
+    embed_dim: int = 0  # >0: also emit an embedding head (tCMN analog)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, pts):
+        h = _PointBackbone(self.widths, self.k, self.dtype)(pts)
+        g = jnp.concatenate([jnp.max(h, axis=1), jnp.mean(h, axis=1)], axis=-1)
+        g = nn.Dense(256, dtype=self.dtype)(g)
+        g = nn.gelu(nn.LayerNorm(dtype=jnp.float32)(g).astype(self.dtype))
+        out = {}
+        logits = nn.Dense(self.n_classes, dtype=jnp.float32, name="cls_head")(g)
+        out["logits"] = logits
+        if self.embed_dim > 0:
+            z = nn.Dense(self.embed_dim, dtype=jnp.float32, name="embed_head")(g)
+            out["embedding"] = z / jnp.maximum(
+                jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-6
+            )
+        return out
+
+
+class PointSegNet(nn.Module):
+    """Per-point semantic segmentation (compartments: dendrite/axon/soma
+    (+ bouton/terminal), spines; glia vertices)."""
+
+    n_classes: int = 3
+    widths: Sequence[int] = (64, 128, 256)
+    k: int = 16
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, pts):
+        h = _PointBackbone(self.widths, self.k, self.dtype)(pts)
+        g = jnp.max(h, axis=1, keepdims=True)  # global context
+        hg = jnp.concatenate([h, jnp.broadcast_to(g, h.shape[:-1] + (g.shape[-1],))], axis=-1)
+        hg = nn.Dense(128, dtype=self.dtype)(hg)
+        hg = nn.gelu(nn.LayerNorm(dtype=jnp.float32)(hg).astype(self.dtype))
+        return nn.Dense(self.n_classes, dtype=jnp.float32, name="seg_head")(hg)
