@@ -1,0 +1,168 @@
+"""Full-pipeline example driver (reference shape: examples/start.py).
+
+Runs every stage on a synthetic EM cube (generated on the fly when no data
+directory is given): dense predictions -> object extraction -> cell
+assembly -> skeletons -> synapses -> compartments -> embeddings -> celltype
+-> connectivity-matrix export. Timings are recorded per step (FileTimer)
+exactly like the reference's published benchmark
+(docs/instructions.rst:87-112).
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from syconn_tpu import global_params
+from syconn_tpu.handler.config import generate_default_conf, initialize_logging
+from syconn_tpu.proc.stats import FileTimer
+
+
+def main():
+    parser = argparse.ArgumentParser(description="syconn_tpu example run")
+    parser.add_argument("--working_dir", type=str, default="")
+    parser.add_argument("--shape", type=int, nargs=3, default=[256, 256, 128],
+                        help="synthetic cube shape (x y z)")
+    parser.add_argument("--n_cells", type=int, default=6)
+    parser.add_argument("--log_level", type=str, default="INFO")
+    parser.add_argument("--overwrite", action="store_true")
+    parser.add_argument("--prior_astrocyte_removal", action="store_true")
+    parser.add_argument("--run_server", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    wd = args.working_dir or os.path.expanduser("~/syconn_tpu_example/")
+    scale = np.array([10, 10, 20])
+    chunk_size = (128, 128, 64)
+
+    generate_default_conf(
+        wd,
+        scale,
+        key_value_pairs=[
+            ("glia", {"prior_astrocyte_removal": args.prior_astrocyte_removal}),
+            ("use_point_models", True),
+            ("syntype_avail", True),
+            ("min_cc_size_ssv", 500),
+            ("log_level", 20 if args.log_level == "INFO" else 10),
+            ("cell_objects", {
+                "extract_morph_op": {"mi": ["binary_closing"], "vc": ["binary_closing"], "sj": []},
+                "min_obj_vx": {"mi": 200, "vc": 100, "sj": 30, "sv": 1, "cs": 10, "syn": 10, "syn_ssv": 20},
+                "sizethresholds": {"mi": 200, "vc": 100, "sj": 30},
+            }),
+            ("skeleton", {"kimimaro_skelgen": {"dust_threshold": 200},
+                          "kimimaro_merge": {"dust_threshold": 150, "tick_threshold": 300}}),
+        ],
+        force_overwrite=True,
+    )
+    global_params.wd = wd
+    log = initialize_logging("example_run", log_dir=wd + "/logs/")
+    cfg = global_params.config
+
+    ftimer = FileTimer(wd + "/.timing.pkl", overwrite=True)
+    ftimer.dataset_shape = list(args.shape)
+    ftimer.dataset_scale = scale.tolist()
+
+    # ------------------------------------------------------------ toy data
+    log.info("Step 0/9 - Preparation (synthetic EM world %s)", args.shape)
+    ftimer.start("Preparation")
+    from syconn_tpu.io.chunked import ChunkedVolume
+    from syconn_tpu.io.graph import save_svgraph
+    from syconn_tpu.utils.testdata import generate_toy_world
+
+    if args.overwrite or not os.path.isdir(cfg.kd_seg_path):
+        world = generate_toy_world(shape=tuple(args.shape), n_cells=args.n_cells, seed=args.seed)
+        kd = ChunkedVolume.create(cfg.kd_seg_path, scale=scale, boundary=world["seg"].shape,
+                                  chunk_shape=chunk_size)
+        kd.save_raw(world["raw"], mags=[1, 2, 4])
+        kd.save_seg(world["seg"], mags=[1, 2])
+        for co in ["mi", "vc", "sj", "sym", "asym"]:
+            cv = ChunkedVolume.create(getattr(cfg, f"kd_{co}_path"), scale=scale,
+                                      boundary=world["seg"].shape, chunk_shape=chunk_size)
+            cv.save_raw(world[co], mags=[1, 2])
+        save_svgraph(world["rag"], cfg.init_svgraph_path)
+    ftimer.stop()
+
+    from syconn_tpu.exec import (
+        exec_dense_prediction,
+        exec_inference,
+        exec_init,
+        exec_skeleton,
+        exec_syns,
+    )
+
+    log.info("Step 1/9 - Predicting sub-cellular structures")
+    ftimer.start("Dense predictions")
+    exec_dense_prediction.predict_myelin(mag=4)
+    ftimer.stop()
+
+    log.info("Step 2/9 - Creating SegmentationDatasets (incl. SV meshes)")
+    ftimer.start("SD generation")
+    exec_init.init_cell_subcell_sds(chunk_size=chunk_size, overwrite=args.overwrite)
+    exec_init.run_create_rag()
+    ftimer.stop()
+
+    log.info("Step 3/9 - Astrocyte separation")
+    if cfg.prior_astrocyte_removal:
+        ftimer.start("Astrocyte separation")
+        exec_inference.run_astrocyte_prediction_pts()
+        exec_inference.run_astrocyte_splitting()
+        ftimer.stop()
+    else:
+        log.info("Astrocyte separation disabled. Skipping.")
+
+    log.info("Step 4/9 - Creating SuperSegmentationDataset")
+    ftimer.start("SSD generation")
+    exec_init.run_create_neuron_ssd(overwrite=args.overwrite)
+    ftimer.stop()
+
+    log.info("Step 5/9 - Skeleton generation")
+    ftimer.start("Skeleton generation")
+    exec_skeleton.run_skeleton_generation(map_myelin=True, cube_size=chunk_size)
+    ftimer.stop()
+
+    log.info("Step 6/9 - Synapse detection")
+    ftimer.start("Synapse detection")
+    exec_syns.run_syn_generation(chunk_size=chunk_size, overwrite=args.overwrite)
+    ftimer.stop()
+
+    log.info("Step 6.5/9 - Contact detection")
+    ftimer.start("Contact detection")
+    if cfg["cell_contacts"]["generate_cs_ssv"]:
+        exec_syns.run_cs_ssv_generation(overwrite=args.overwrite)
+    ftimer.stop()
+
+    log.info("Step 7/9 - Compartment prediction")
+    ftimer.start("Compartment predictions")
+    exec_inference.run_semsegaxoness_prediction()
+    exec_inference.run_semsegspiness_prediction()
+    exec_syns.run_spinehead_volume_calc()
+    ftimer.stop()
+
+    log.info("Step 8/9 - Cell-morphology embeddings")
+    ftimer.start("Morphology extraction")
+    exec_inference.run_morphology_embedding()
+    ftimer.stop()
+
+    log.info("Step 9/9 - Celltype analysis")
+    ftimer.start("Celltype analysis")
+    exec_inference.run_celltype_prediction()
+    ftimer.stop()
+
+    log.info("Step - Matrix export")
+    ftimer.start("Matrix export")
+    exec_syns.run_matrix_export()
+    ftimer.stop()
+
+    log.info("\n" + ftimer.prepare_report())
+    if args.run_server:
+        from syconn_tpu.analysis.server import main as server_main
+
+        sys.argv = ["syconn.server", f"--working_dir={wd}", "--port=10001"]
+        server_main()
+
+
+if __name__ == "__main__":
+    main()

@@ -93,6 +93,55 @@ def make_train_step(
     )
 
 
+def make_class_train_step(mesh: Optional[Mesh] = None, dict_output: bool = False):
+    """Jitted classification step; handles models that return dicts with a
+    'logits' entry (PointClassNet)."""
+
+    def step(state: TrainState, x: jnp.ndarray, y: jnp.ndarray):
+        def compute_loss(params):
+            out = state.apply_fn({"params": params}, x)
+            logits = out["logits"] if dict_output else out
+            return softmax_xent_loss(logits, y), logits
+
+        (loss, logits), grads = jax.value_and_grad(compute_loss, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        acc = jnp.mean((jnp.argmax(logits, -1) == y) * (y >= 0))
+        return new_state, {"loss": loss, "acc": acc}
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    dsh = NamedSharding(mesh, P("data"))
+    return jax.jit(step, in_shardings=(repl, dsh, dsh), out_shardings=(repl, repl), donate_argnums=(0,))
+
+
+def triplet_loss(za: jnp.ndarray, zp: jnp.ndarray, zn: jnp.ndarray, margin: float = 0.2):
+    """Margin triplet loss on normalized embeddings (tCMN training,
+    reference: syconn/cnn/cnn_tnet*.py)."""
+    d_ap = jnp.sum((za - zp) ** 2, axis=-1)
+    d_an = jnp.sum((za - zn) ** 2, axis=-1)
+    return jnp.mean(jnp.maximum(d_ap - d_an + margin, 0.0))
+
+
+def make_triplet_train_step(embed_key: Optional[str] = "embedding", margin: float = 0.2):
+    """Jitted triplet step for embedding models (dict output with
+    ``embedding``, or a raw embedding output when ``embed_key`` is None)."""
+
+    def step(state: TrainState, xa, xp, xn):
+        def compute_loss(params):
+            def emb(x):
+                out = state.apply_fn({"params": params}, x)
+                return out[embed_key] if embed_key else out
+
+            return triplet_loss(emb(xa), emb(xp), emb(xn), margin)
+
+        loss, grads = jax.value_and_grad(compute_loss)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        return new_state, {"loss": loss}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def train_dense(
     model,
     data_iter: Iterator[Tuple[np.ndarray, np.ndarray]],

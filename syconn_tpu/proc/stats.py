@@ -100,3 +100,28 @@ class FileTimer:
             frac = 100.0 * dt / total if total else 0.0
             lines.append(f"  [{name}] {dt:.1f} s ({frac:.1f}%)")
         return "\n".join(lines)
+
+
+def model_performance(
+    probas: np.ndarray,
+    labels: np.ndarray,
+    model_dir: Optional[str] = None,
+    prefix: str = "",
+    n_labels: Optional[int] = None,
+) -> str:
+    """Classification report (+ confusion matrix) for model evaluation
+    (reference: proc/stats.py ``model_performance``)."""
+    from sklearn.metrics import classification_report, confusion_matrix
+
+    probas = np.asarray(probas)
+    preds = probas.argmax(axis=1) if probas.ndim == 2 else probas
+    rep = classification_report(labels, preds, zero_division=0)
+    cm = confusion_matrix(labels, preds)
+    text = f"{prefix}\n{rep}\nconfusion matrix:\n{cm}\n"
+    if model_dir is not None:
+        import os
+
+        os.makedirs(model_dir, exist_ok=True)
+        with open(os.path.join(model_dir, f"{prefix or 'model'}_performance.txt"), "w") as f:
+            f.write(text)
+    return text

@@ -202,6 +202,9 @@ class SuperSegmentationObject(SegmentationBase):
     def load_mesh(self, obj_type: str = "sv"):
         if obj_type in self._meshes:
             return self._meshes[obj_type]
+        if getattr(self, "_standalone", False):
+            # kzip-loaded cells only expose their preloaded meshes
+            return [np.zeros(0, np.int64), np.zeros(0, np.float32), np.zeros(0, np.float32)]
         p = self.mesh_path(obj_type)
         mesh = None
         if os.path.isfile(p):

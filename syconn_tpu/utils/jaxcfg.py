@@ -18,9 +18,20 @@ def setup_jax():
     if _configured:
         return
     _configured = True
+    import jax
+
+    # Platform override: the ambient sitecustomize on TPU attachments pins
+    # JAX_PLATFORMS=axon at interpreter start, so a plain env var cannot
+    # force CPU for subprocesses (tests, local tooling). This package-level
+    # escape hatch is applied before the backend initializes.
+    platform = os.environ.get("SYCONN_TPU_PLATFORM")
+    if platform:
+        try:
+            jax.config.update("jax_platforms", platform)
+        except Exception:
+            pass
     if os.environ.get("SYCONN_TPU_NO_JAX_CACHE") == "1":
         return
-    import jax
 
     cache_dir = os.environ.get(
         "SYCONN_TPU_JAX_CACHE", os.path.expanduser("~/.cache/syconn_tpu/jax")
