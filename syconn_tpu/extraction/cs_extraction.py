@@ -82,11 +82,25 @@ def extract_contact_sites(
         (cx, cy, cz) for cx in range(grid[0]) for cy in range(grid[1]) for cz in range(grid[2])
     ]
 
+    # dispatch: device kernel when an accelerator is attached (the device
+    # executes chunks serially; a lock keeps host threads from queue-piling)
+    import threading
+
+    from ..utils.jaxcfg import use_device_kernels
+
+    device_path = use_device_kernels()
+    dev_lock = threading.Lock()
+
     def work(cix):
         off = np.array(cix) * cs
         size = np.minimum(cs, sh - off)
         seg = kd.load_seg(offset=off - halo, size=size + 2 * halo, mag=mag)
-        if seg.max() < 2**32:
+        if device_path and seg.max() < 2**31:
+            from ..ops.contacts_jax import detect_cs_tpu
+
+            with dev_lock:
+                cs_seg = detect_cs_tpu(seg, stencil=tuple(int(s) for s in stencil))
+        elif seg.max() < 2**32:
             cs_seg = detect_cs(seg.astype(np.uint32), stencil=stencil)
         else:
             from ..ops.contacts import detect_cs_64bit

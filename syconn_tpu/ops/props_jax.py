@@ -1,0 +1,135 @@
+"""Device (XLA/TPU) per-object property extraction.
+
+The device counterpart of :mod:`syconn_tpu.ops.props` (itself a rebuild of
+the reference's Cython scan, find_object_properties_C.pyx:24): the chunk is
+flattened, stably sorted by label, and per-label statistics are computed
+with *sorted* segment reductions — XLA lowers these to segmented scans
+instead of random-access hash updates, which is the only formulation that
+maps well onto a vector unit.
+
+Outputs are fixed-size (``max_ids``-padded) tables, so one compiled kernel
+serves every chunk of a volume; entry ``i`` is valid iff ``ids[i] != 0``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.jaxcfg import setup_jax
+
+setup_jax()
+
+__all__ = ["object_properties_device", "object_properties_tpu", "pair_counts_device"]
+
+
+@partial(jax.jit, static_argnames=("max_ids",))
+def object_properties_device(chunk: jnp.ndarray, max_ids: int):
+    """Per-label stats of an int32 label volume.
+
+    Returns (ids (max_ids,), rep (max_ids, 3), bb (max_ids, 2, 3),
+    sizes (max_ids,)) — padded with id 0 rows.
+    """
+    sx, sy, sz = chunk.shape
+    flat = chunk.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    order = jnp.argsort(flat, stable=True)
+    sids = flat[order]
+    # coordinates of the sorted elements
+    oz = order % sz
+    oy = (order // sz) % sy
+    ox = order // (sy * sz)
+    coords = jnp.stack([ox, oy, oz], axis=1).astype(jnp.int32)
+
+    first = jnp.concatenate([jnp.ones(1, bool), sids[1:] != sids[:-1]])
+    seg_ix = jnp.cumsum(first) - 1  # compact segment index, ascending ids
+    seg_ix = jnp.minimum(seg_ix, max_ids - 1)
+
+    ids = jnp.zeros(max_ids, jnp.int32).at[seg_ix].max(sids, mode="drop")
+    sizes = jnp.zeros(max_ids, jnp.int32).at[seg_ix].add(1, mode="drop")
+    big = jnp.iinfo(jnp.int32).max
+    mins = jnp.full((max_ids, 3), big, jnp.int32).at[seg_ix].min(coords, mode="drop")
+    maxs = jnp.full((max_ids, 3), -1, jnp.int32).at[seg_ix].max(coords, mode="drop")
+    # representative coordinate: first occurrence in C scan order == the
+    # element with the smallest flat index inside each segment
+    best_flat = jnp.full(max_ids, big, jnp.int32).at[seg_ix].min(order.astype(jnp.int32), mode="drop")
+    rz = best_flat % sz
+    ry = (best_flat // sz) % sy
+    rx = best_flat // (sy * sz)
+    rep = jnp.stack([rx, ry, rz], axis=1)
+
+    valid = ids != 0
+    sizes = jnp.where(valid, sizes, 0)
+    bb = jnp.stack([mins, maxs + 1], axis=1)
+    bb = jnp.where(valid[:, None, None], bb, 0)
+    rep = jnp.where(valid[:, None], rep, 0)
+    n_segments = jnp.sum(first)  # for host-side overflow detection
+    return ids, rep, bb, sizes, n_segments
+
+
+def object_properties_tpu(
+    chunk: np.ndarray, max_ids: int = 4096
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Host wrapper with the same return contract as
+    :func:`syconn_tpu.ops.props.object_properties_arrays` (compact arrays,
+    ascending unique nonzero ids). Labels must fit int32 — callers with
+    64-bit ids remap through a lookup table first."""
+    chunk = np.ascontiguousarray(chunk)
+    assert chunk.max(initial=0) < 2**31, "int32 label space required on device"
+    ids, rep, bb, sizes, n_seg = jax.device_get(
+        object_properties_device(jnp.asarray(chunk.astype(np.int32)), max_ids)
+    )
+    if int(n_seg) > max_ids:
+        raise ValueError(
+            f"chunk has {int(n_seg)} unique labels > max_ids={max_ids}; "
+            "raise max_ids (tables are padded, the kernel recompiles once per size)"
+        )
+    valid = ids != 0
+    order = np.argsort(ids[valid], kind="stable")
+    return (
+        ids[valid][order].astype(chunk.dtype),
+        rep[valid][order].astype(np.int64),
+        bb[valid][order].astype(np.int64),
+        sizes[valid][order].astype(np.int64),
+    )
+
+
+@partial(jax.jit, static_argnames=("max_pairs",))
+def pair_counts_device(a: jnp.ndarray, b: jnp.ndarray, max_pairs: int):
+    """Co-occurrence counts of nonzero (a, b) int32 label pairs on device
+    (device analog of ops/props.pair_counts; mapping scan of
+    find_object_properties_C.pyx:72).
+
+    Returns (a_ids, b_ids, counts) padded to ``max_pairs``.
+    """
+    af = a.reshape(-1).astype(jnp.int64) if False else a.reshape(-1)
+    bf = b.reshape(-1)
+    valid = (af != 0) & (bf != 0)
+    # pack pair into float-sortable key: a * 2^31 would overflow int32 ->
+    # two-stage stable sort instead
+    order1 = jnp.argsort(jnp.where(valid, bf, jnp.iinfo(jnp.int32).max), stable=True)
+    a1 = af[order1]
+    b1 = bf[order1]
+    v1 = valid[order1]
+    order2 = jnp.argsort(jnp.where(v1, a1, jnp.iinfo(jnp.int32).max), stable=True)
+    a2 = a1[order2]
+    b2 = b1[order2]
+    v2 = v1[order2]
+    new = jnp.concatenate(
+        [jnp.ones(1, bool), (a2[1:] != a2[:-1]) | (b2[1:] != b2[:-1])]
+    ) & v2
+    seg = jnp.cumsum(new) - 1
+    seg = jnp.where(v2, jnp.minimum(seg, max_pairs - 1), max_pairs - 1)
+    a_out = jnp.zeros(max_pairs, jnp.int32).at[seg].max(jnp.where(v2, a2, 0), mode="drop")
+    b_out = jnp.zeros(max_pairs, jnp.int32).at[seg].max(jnp.where(v2, b2, 0), mode="drop")
+    cnt = jnp.zeros(max_pairs, jnp.int32).at[seg].add(jnp.where(v2, 1, 0), mode="drop")
+    ok = (a_out != 0) & (b_out != 0)
+    return (
+        jnp.where(ok, a_out, 0),
+        jnp.where(ok, b_out, 0),
+        jnp.where(ok, cnt, 0),
+    )

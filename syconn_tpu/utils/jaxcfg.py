@@ -32,6 +32,11 @@ def setup_jax():
             pass
     if os.environ.get("SYCONN_TPU_NO_JAX_CACHE") == "1":
         return
+    _enable_cache()
+
+
+def _enable_cache():
+    import jax
 
     cache_dir = os.environ.get(
         "SYCONN_TPU_JAX_CACHE", os.path.expanduser("~/.cache/syconn_tpu/jax")
@@ -43,3 +48,35 @@ def setup_jax():
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
+
+
+def device_is_accelerator() -> bool:
+    """True when the default JAX backend is a real accelerator (the voxel
+    kernels then dispatch to their device implementations)."""
+    setup_jax()
+    import jax
+
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def use_device_kernels() -> bool:
+    """Config/env-driven dispatch switch for the device voxel kernels.
+
+    Priority: env SYCONN_TPU_DEVICE_KERNELS (0/1) > config
+    ``tpu.use_device_kernels`` (true/false/'auto') > auto (accelerator
+    attached)."""
+    env = os.environ.get("SYCONN_TPU_DEVICE_KERNELS")
+    if env is not None:
+        return env == "1"
+    try:
+        from .. import global_params
+
+        v = global_params.config["tpu"].get("use_device_kernels", "auto")
+    except Exception:
+        v = "auto"
+    if isinstance(v, bool):
+        return v
+    return device_is_accelerator()

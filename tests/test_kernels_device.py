@@ -1,0 +1,86 @@
+"""Device kernels must match the host (native/numpy) golden kernels."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+
+def test_object_properties_device_matches_host(rng):
+    from syconn_tpu.ops.props import object_properties_arrays
+    from syconn_tpu.ops.props_jax import object_properties_tpu
+
+    vol = rng.integers(0, 50, size=(32, 24, 16)).astype(np.uint32)
+    ids_h, rep_h, bb_h, sz_h = object_properties_arrays(vol)
+    ids_d, rep_d, bb_d, sz_d = object_properties_tpu(vol, max_ids=128)
+    assert np.array_equal(ids_h, ids_d)
+    assert np.array_equal(sz_h, sz_d)
+    assert np.array_equal(bb_h, bb_d)
+    assert np.array_equal(rep_h, rep_d)  # first-occurrence rep coords
+
+
+def test_object_properties_device_overflow(rng):
+    from syconn_tpu.ops.props_jax import object_properties_tpu
+
+    vol = np.arange(1, 1001, dtype=np.uint32).reshape(10, 10, 10)
+    with pytest.raises(ValueError):
+        object_properties_tpu(vol, max_ids=64)
+
+
+def test_pair_counts_device_matches_host(rng):
+    import jax.numpy as jnp
+
+    from syconn_tpu.ops.props import pair_counts
+    from syconn_tpu.ops.props_jax import pair_counts_device
+
+    a = rng.integers(0, 6, size=(16, 16, 8)).astype(np.uint32)
+    b = rng.integers(0, 6, size=(16, 16, 8)).astype(np.uint32)
+    ah, bh, ch = pair_counts(a, b)
+    ad, bd, cd = jax.device_get(
+        pair_counts_device(jnp.asarray(a.astype(np.int32)), jnp.asarray(b.astype(np.int32)), 128)
+    )
+    valid = cd > 0
+    got = sorted(zip(ad[valid].tolist(), bd[valid].tolist(), cd[valid].tolist()))
+    expect = sorted(zip(ah.tolist(), bh.tolist(), ch.tolist()))
+    assert got == expect
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_detect_cs_device_matches_host(seed):
+    from syconn_tpu.ops.contacts import detect_cs
+    from syconn_tpu.ops.contacts_jax import detect_cs_tpu
+
+    rng = np.random.default_rng(seed)
+    stencil = (5, 5, 3)
+    # blocky segmentation (realistic spatial coherence)
+    base = rng.integers(0, 4, size=(6, 6, 4)).astype(np.uint32)
+    seg = np.kron(base, np.ones((6, 6, 6), np.uint32))  # (36, 36, 24)
+    host = detect_cs(seg, stencil=np.asarray(stencil, np.int32))
+    dev = detect_cs_tpu(seg, stencil=stencil, tile=(16, 16, 8), K=16)
+    assert host.shape == dev.shape
+    assert np.array_equal(host, dev)
+
+
+def test_detect_cs_device_two_cubes():
+    from syconn_tpu.ops.contacts import cs_pair_unpack
+    from syconn_tpu.ops.contacts_jax import detect_cs_tpu
+
+    seg = np.zeros((40, 40, 24), np.uint32)
+    seg[4:18, 10:30, 4:20] = 4
+    seg[20:36, 10:30, 4:20] = 9  # 2-voxel gap along x
+    packed = detect_cs_tpu(seg, stencil=(13, 13, 7), tile=(16, 16, 8), K=16)
+    lo, hi = cs_pair_unpack(packed[packed != 0])
+    assert set(lo.tolist()) == {4} and set(hi.tolist()) == {9}
+
+
+def test_detect_cs_device_overflow_fallback():
+    """A tile with more unique labels than K must fall back to the host
+    kernel and still be exact."""
+    from syconn_tpu.ops.contacts import detect_cs
+    from syconn_tpu.ops.contacts_jax import detect_cs_tpu
+
+    rng = np.random.default_rng(2)
+    seg = rng.integers(0, 60, size=(24, 24, 16)).astype(np.uint32)  # high diversity
+    host = detect_cs(seg, stencil=np.asarray((5, 5, 3), np.int32))
+    dev = detect_cs_tpu(seg, stencil=(5, 5, 3), tile=(16, 16, 8), K=8)
+    assert np.array_equal(host, dev)
