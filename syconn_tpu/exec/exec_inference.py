@@ -27,22 +27,53 @@ __all__ = [
 
 
 def run_celltype_prediction(max_n_jobs_gpu: Optional[int] = None):
-    """(reference: exec_inference.py:113)"""
+    """(reference: exec_inference.py:113). Dispatches on
+    ``use_point_models``: point contexts or rendered multi-view CMN."""
     lg = initialize_logging("exec_inference")
-    from ..inference.points import predict_celltype_ssd
+    cfg = global_params.config
+    if cfg.use_point_models:
+        from ..inference.points import predict_celltype_ssd
 
-    n = predict_celltype_ssd()
+        n = predict_celltype_ssd()
+    else:
+        from ..inference.views_infer import celltype_of_sso_views
+        from ..parallel.executor import map_parallel
+        from ..reps.super_segmentation import SuperSegmentationDataset
+
+        ssd = SuperSegmentationDataset(working_dir=cfg.working_dir)
+
+        def work(ssv_id):
+            celltype_of_sso_views(ssd.get_super_segmentation_object(int(ssv_id)))
+            return 1
+
+        n = sum(map_parallel(work, list(ssd.ssv_ids), n_workers=4, desc="celltype_views"))
     lg.info("celltype prediction done (%d cells)", n)
     return n
 
 
 def run_semsegaxoness_prediction(max_n_jobs_gpu: Optional[int] = None):
     """Axon/dendrite/soma compartments -> skeleton nodes
-    (reference: exec_inference.py:147)."""
+    (reference: exec_inference.py:147). Point or view models per config."""
     lg = initialize_logging("exec_inference")
-    from ..inference.points import predict_compartments_ssd
+    cfg = global_params.config
+    if cfg.use_point_models:
+        from ..inference.points import predict_compartments_ssd
 
-    n = predict_compartments_ssd(skel_key="axoness", n_classes=3)
+        n = predict_compartments_ssd(skel_key="axoness", n_classes=3)
+    else:
+        from ..inference.views_infer import semseg_of_sso_views
+        from ..parallel.executor import map_parallel
+        from ..reps.super_segmentation import SuperSegmentationDataset
+
+        ssd = SuperSegmentationDataset(working_dir=cfg.working_dir)
+
+        def work(ssv_id):
+            semseg_of_sso_views(
+                ssd.get_super_segmentation_object(int(ssv_id)), semseg_key="axoness", n_classes=3
+            )
+            return 1
+
+        n = sum(map_parallel(work, list(ssd.ssv_ids), n_workers=4, desc="axoness_views"))
     lg.info("axoness prediction done (%d cells)", n)
     return n
 
@@ -62,11 +93,25 @@ def run_semsegspiness_prediction(max_n_jobs_gpu: Optional[int] = None):
 
 
 def run_morphology_embedding(max_n_jobs_gpu: Optional[int] = None):
-    """(reference: exec_inference.py:29)"""
+    """(reference: exec_inference.py:29). Point or view (tCMN) models."""
     lg = initialize_logging("exec_inference")
-    from ..inference.points import infere_cell_morphology_ssd
+    cfg = global_params.config
+    if cfg.use_point_models:
+        from ..inference.points import infere_cell_morphology_ssd
 
-    n = infere_cell_morphology_ssd()
+        n = infere_cell_morphology_ssd()
+    else:
+        from ..inference.views_infer import view_embedding_of_sso
+        from ..parallel.executor import map_parallel
+        from ..reps.super_segmentation import SuperSegmentationDataset
+
+        ssd = SuperSegmentationDataset(working_dir=cfg.working_dir)
+
+        def work(ssv_id):
+            view_embedding_of_sso(ssd.get_super_segmentation_object(int(ssv_id)))
+            return 1
+
+        n = sum(map_parallel(work, list(ssd.ssv_ids), n_workers=4, desc="embedding_views"))
     lg.info("morphology embeddings done (%d cells)", n)
     return n
 

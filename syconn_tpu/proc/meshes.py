@@ -186,6 +186,30 @@ class MeshObject:
         return np.asarray(coords, np.float32) * self.max_dist + self.center[None]
 
 
+def compartmentalize_mesh(ssv, semseg_key: str = "axoness") -> Dict[int, List[np.ndarray]]:
+    """Split a cell mesh into per-compartment sub-meshes by vertex labels
+    (reference: proc/meshes.py:807). Triangles vote by majority of their
+    three vertices."""
+    labels = ssv.lookup_in_attribute_dict(f"{semseg_key}_vertex_labels")
+    if labels is None:
+        raise ValueError(f"Cell {ssv.id} has no '{semseg_key}' vertex labels.")
+    labels = np.asarray(labels)
+    mesh = ssv.load_mesh("sv")
+    f = np.asarray(mesh[0], np.int64).reshape(-1, 3)
+    v = np.asarray(mesh[1], np.float32).reshape(-1, 3)
+    tri_labels = np.median(labels[f], axis=1).astype(np.int64)
+    out: Dict[int, List[np.ndarray]] = {}
+    for lab in np.unique(tri_labels):
+        sel = f[tri_labels == lab]
+        used, inv = np.unique(sel.reshape(-1), return_inverse=True)
+        out[int(lab)] = [
+            inv.astype(np.int64),
+            v[used].reshape(-1),
+            np.zeros(0, np.float32),
+        ]
+    return out
+
+
 def write_mesh2kzip(kzip_path: str, ind, vert, norm, color, ply_fname: str):
     """Write a mesh into a kzip archive as PLY (reference: proc/meshes.py:596)."""
     from ..handler.basics import write_txt2kzip

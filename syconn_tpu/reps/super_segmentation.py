@@ -306,10 +306,110 @@ class SuperSegmentationObject(SegmentationBase):
     def celltype(self):
         return self.lookup_in_attribute_dict("celltype_cnn_e3")
 
+    @property
+    def certainty_celltype(self):
+        return self.lookup_in_attribute_dict("celltype_cnn_e3_certainty")
+
     def predict_celltype(self, *args, **kw):
         from ..inference.points import predict_celltype_sso
 
         return predict_celltype_sso(self, *args, **kw)
+
+    def predict_celltype_multiview(self, **kw):
+        """(reference: super_segmentation_object.py:3125)"""
+        from ..inference.views_infer import celltype_of_sso_views
+
+        return celltype_of_sso_views(self, **kw)
+
+    def predict_semseg(self, semseg_key: str = "axoness", **kw):
+        """(reference: super_segmentation_object.py:2034)"""
+        from ..inference.views_infer import semseg_of_sso_views
+
+        return semseg_of_sso_views(self, semseg_key=semseg_key, **kw)
+
+    def predict_views_embedding(self, **kw):
+        """(reference: super_segmentation_object.py:3032)"""
+        from ..inference.views_infer import view_embedding_of_sso
+
+        return view_embedding_of_sso(self, **kw)
+
+    def render_views(self, coords_nm=None, **kw):
+        """(reference: super_segmentation_object.py:1872)"""
+        from ..render.views import render_sampled_sso, render_sso_coords
+
+        if coords_nm is None:
+            return render_sampled_sso(self, **kw)[0]
+        return render_sso_coords(self, coords_nm, **kw)
+
+    def render_indexviews(self, coords_nm, **kw):
+        """(reference: super_segmentation_object.py:1933)"""
+        from ..render.views import render_sso_coords_index_views
+
+        return render_sso_coords_index_views(self, coords_nm, **kw)
+
+    def semseg_for_coords(self, coords_vx, semseg_key: str = "axoness", **kw):
+        """(reference: super_segmentation_object.py:2190)"""
+        from .super_segmentation_helper import semseg_for_coords
+
+        return semseg_for_coords(self, coords_vx, semseg_key=semseg_key, **kw)
+
+    def axoness_for_coords(self, coords_vx, **kw):
+        """(reference: super_segmentation_object.py:2906)"""
+        return self.semseg_for_coords(coords_vx, semseg_key="axoness", **kw)
+
+    def shortestpath2soma(self, coords_vx, **kw):
+        """(reference: super_segmentation_object.py:3247)"""
+        from .super_segmentation_helper import shortestpath2soma
+
+        return shortestpath2soma(self, coords_vx, **kw)
+
+    def syn_sign_ratio(self, **kw) -> float:
+        """(reference: super_segmentation_helper.py:1981)"""
+        from .super_segmentation_helper import syn_sign_ratio_celltype
+
+        return syn_sign_ratio_celltype(self, **kw)
+
+    def gliasplit(self, glia_thresh: Optional[float] = None):
+        """Partition this cell's SV graph into neuron/astrocyte parts by the
+        SVs' glia probabilities (reference: super_segmentation_object.py:2746).
+        Returns (neuron_sv_ids, glia_sv_ids)."""
+        from ..proc.graphs import remove_glia_nodes
+        from .segmentation import SegmentationDataset
+
+        cfg = self.config
+        if glia_thresh is None:
+            glia_thresh = float(cfg["glia"]["glia_thresh"])
+        sd_sv = SegmentationDataset("sv", working_dir=self.working_dir, config=cfg)
+        probas = {}
+        bbs = {}
+        scale = np.asarray(self.scaling, np.float64)
+        for sv in self.svs:
+            sv.load_attr_dict()
+            probas[sv.id] = float(sv.attr_dict.get("glia_probas", 0.0) or 0.0)
+            bbs[sv.id] = sv.bounding_box * scale[None]
+        g = self.load_sv_graph()
+        neuron, glia = remove_glia_nodes(
+            g, probas, glia_thresh, float(cfg["min_cc_size_ssv"]), bbs=bbs
+        )
+        return np.asarray(neuron, np.uint64), np.asarray(glia, np.uint64)
+
+    def total_edge_length(self) -> float:
+        """Skeleton cable length in nm."""
+        if not self.load_skeleton():
+            return 0.0
+        sk = self.skeleton
+        scale = np.asarray(self.scaling, np.float64)
+        nodes = np.asarray(sk["nodes"], np.float64) * scale[None]
+        edges = np.asarray(sk["edges"], np.int64).reshape(-1, 2)
+        if len(edges) == 0:
+            return 0.0
+        return float(np.linalg.norm(nodes[edges[:, 0]] - nodes[edges[:, 1]], axis=1).sum())
+
+    def compartmentalize_mesh(self, semseg_key: str = "axoness"):
+        """(reference: proc/meshes.py:807)"""
+        from ..proc.meshes import compartmentalize_mesh
+
+        return compartmentalize_mesh(self, semseg_key=semseg_key)
 
     # ----------------------------------------------------------------- kzip
     def skeleton_to_kzip(self, path: Optional[str] = None):
