@@ -57,9 +57,14 @@ def main():
     params = init_model_params(model, (1, 64, 64, 32, 1))
 
     # ------------------------------------------------------------- warm-up
+    # the SAME predictor instance is reused by the timed run, so compilation
+    # and the first-dispatch overheads stay out of the measurement
     from syconn_tpu.inference.dense import DenseTilePredictor
 
-    pred = DenseTilePredictor(model, params, tile_shape=tile, halo=halo)
+    pred = DenseTilePredictor(
+        model, params, tile_shape=tile, halo=halo, mode="masks",
+        thresholds=(0.5, 0.4286, 0.2857, 0.1905), batch_size=1,
+    )
     warm = np.zeros((1,) + tuple(np.add(tile, np.multiply(2, halo))), np.uint8)
     pred.predict_tiles(warm)  # compile
 
@@ -82,6 +87,8 @@ def main():
         show_progress=False,
         mode="masks",
         thresholds=(0.5, 0.4286, 0.2857, 0.1905),
+        predictor=pred,
+        pipeline_depth=4,
     )
     mvox_s = stats["mvox_per_s"]
     result = {

@@ -207,6 +207,8 @@ def predict_dense_to_kd(
     mode: str = "probs",
     thresholds: Optional[Sequence[float]] = None,
     pipeline_depth: int = 2,
+    predictor: Optional["DenseTilePredictor"] = None,
+    batch_size: int = 1,
 ) -> dict:
     """Predict a whole chunked volume and write per-class outputs.
 
@@ -220,8 +222,9 @@ def predict_dense_to_kd(
     Returns timing/throughput stats.
     """
     src = ChunkedVolume.open(kd_path)
-    pred = DenseTilePredictor(
-        model, params, tile_shape=tile_shape, halo=halo, mode=mode, thresholds=thresholds
+    pred = predictor if predictor is not None else DenseTilePredictor(
+        model, params, tile_shape=tile_shape, halo=halo, mode=mode,
+        thresholds=thresholds, batch_size=batch_size,
     )
     sh = src.mag_shape(mag)
     ts = np.asarray(tile_shape, np.int64)
@@ -255,9 +258,8 @@ def predict_dense_to_kd(
     def load_tile(offset):
         return src.load_raw(offset=offset - h, size=ts + 2 * h, mag=mag)
 
-    def unpack_and_write(offset, raw):
-        """Runs in a writer thread: host depth-to-space + chunk writes."""
-        res = pred.unpack(raw)[0]
+    def unpack_and_write(offset, res):
+        """Runs in a writer thread: chunk writes of one unpacked tile."""
         hi = np.minimum(offset + ts, sh)
         s = hi - offset
         for name, ch in channel_mapping.items():
@@ -273,37 +275,50 @@ def predict_dense_to_kd(
             labels = np.argmax(res[: s[0], : s[1], : s[2]], axis=-1).astype(np.uint64)
             seg_kd.save_seg(labels, offset, target_mags)
 
+    def unpack_batch_and_write(batch_ixs, raw):
+        """Host depth-to-space of a whole batch, then per-tile writes."""
+        res = pred.unpack(raw)
+        for k, ti in enumerate(batch_ixs):
+            unpack_and_write(tiles[ti], res[k])
+
+    batch = max(1, int(pred.batch_size))
     writer = ThreadPoolExecutor(max_workers=io_threads)
     loader = ThreadPoolExecutor(max_workers=io_threads)
     t0 = time.perf_counter()
     n_vox = 0
-    # three-stage pipeline: host prefetch -> device dispatch -> host write
+    # three-stage pipeline: host prefetch -> batched device dispatch ->
+    # host unpack+write (per-call overheads amortize over the batch)
+    batches = [list(range(i, min(i + batch, len(tiles)))) for i in range(0, len(tiles), batch)]
     prefetch_depth = pipeline_depth + 2
     load_futs = {
-        i: loader.submit(load_tile, tiles[i])
-        for i in range(min(prefetch_depth, len(tiles)))
+        bi: [loader.submit(load_tile, tiles[i]) for i in batches[bi]]
+        for bi in range(min(prefetch_depth, len(batches)))
     }
-    inflight: deque = deque()  # (tile_index, device_future)
+    inflight: deque = deque()  # (batch_index, device_future)
     write_futs = []
 
     def drain_one():
         nonlocal n_vox
-        i, dev = inflight.popleft()
+        bi, dev = inflight.popleft()
         raw = pred.fetch_raw(dev)  # d2h only; unpack + writes go to threads
-        write_futs.append(writer.submit(unpack_and_write, tiles[i], raw))
-        sz = np.minimum(tiles[i] + ts, sh) - tiles[i]
-        n_vox += int(np.prod(sz))
+        write_futs.append(writer.submit(unpack_batch_and_write, batches[bi], raw))
+        for i in batches[bi]:
+            sz = np.minimum(tiles[i] + ts, sh) - tiles[i]
+            n_vox += int(np.prod(sz))
 
-    for i in range(len(tiles)):
-        tile = load_futs.pop(i).result()
-        nxt = i + prefetch_depth
-        if nxt < len(tiles):
-            load_futs[nxt] = loader.submit(load_tile, tiles[nxt])
-        inflight.append((i, pred.dispatch(tile[None])))
+    for bi in range(len(batches)):
+        data = np.stack([f.result() for f in load_futs.pop(bi)])
+        if len(data) < batch:
+            pad = np.zeros((batch - len(data),) + data.shape[1:], data.dtype)
+            data = np.concatenate([data, pad])
+        nxt = bi + prefetch_depth
+        if nxt < len(batches):
+            load_futs[nxt] = [loader.submit(load_tile, tiles[i]) for i in batches[nxt]]
+        inflight.append((bi, pred.dispatch(data)))
         while len(inflight) > pipeline_depth:
             drain_one()
-        if show_progress and (i + 1) % 16 == 0:
-            log.info("dense prediction: %d/%d tiles dispatched", i + 1, len(tiles))
+        if show_progress and (bi + 1) % 16 == 0:
+            log.info("dense prediction: %d/%d batches dispatched", bi + 1, len(batches))
     while inflight:
         drain_one()
     for f in write_futs:
