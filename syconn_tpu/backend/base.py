@@ -179,6 +179,17 @@ class StorageBase:
             pass
 
 
+class BTBase:
+    """Stub for a future big-table backend (reference: syconn/backend/base.py
+    keeps the same placeholder for non-filesystem stores)."""
+
+    def __init__(self, *a, **kw):
+        raise NotImplementedError("Big-table backend not implemented; use FS stores.")
+
+
+FSBase = StorageBase  # reference alias
+
+
 def compress_payload(arr: np.ndarray) -> tuple:
     """zstd-compress an ndarray, keeping dtype/shape for exact round-trip."""
     arr = np.ascontiguousarray(arr)

@@ -19,6 +19,8 @@ from ..ops.morphology import (  # noqa: F401 (API parity re-exports)
 )
 
 __all__ = [
+    "in_bounding_box",
+    "fill_voids",
     "normalize_img",
     "clahe",
     "apply_clahe_slices",
@@ -85,6 +87,21 @@ def apply_clahe_slices(vol: np.ndarray, axis: int = 2, **kw) -> np.ndarray:
         sl[axis] = i
         out[tuple(sl)] = clahe(vol[tuple(sl)], **kw)
     return out
+
+
+def in_bounding_box(coords: np.ndarray, bb) -> np.ndarray:
+    """Vectorized point-in-box test (reference: in_bounding_boxC.pyx). ``bb``
+    is (center, size) like the reference: True where
+    |coord - center| <= size / 2."""
+    coords = np.asarray(coords, np.float64)
+    center = np.asarray(bb[0], np.float64)
+    size = np.asarray(bb[1], np.float64)
+    return np.all(np.abs(coords - center[None]) <= size[None] / 2.0, axis=1)
+
+
+def fill_voids(mask: np.ndarray) -> np.ndarray:
+    """Fill enclosed cavities of a binary mask (reference dep: fill_voids)."""
+    return ndimage.binary_fill_holes(np.asarray(mask).astype(bool))
 
 
 def single_conn_comp(mask: np.ndarray, coord: Optional[Sequence[int]] = None) -> np.ndarray:
