@@ -32,6 +32,10 @@ def main():
     parser.add_argument("--prior_astrocyte_removal", action="store_true")
     parser.add_argument("--run_server", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--train_models", action="store_true",
+                        help="train the dense models on the toy ground truth "
+                             "before running inference (train->deploy loop)")
+    parser.add_argument("--train_steps", type=int, default=800)
     args = parser.parse_args()
 
     wd = args.working_dir or os.path.expanduser("~/syconn_tpu_example/")
@@ -72,6 +76,7 @@ def main():
     from syconn_tpu.io.graph import save_svgraph
     from syconn_tpu.utils.testdata import generate_toy_world
 
+    world = None
     if args.overwrite or not os.path.isdir(cfg.kd_seg_path):
         world = generate_toy_world(shape=tuple(args.shape), n_cells=args.n_cells, seed=args.seed)
         kd = ChunkedVolume.create(cfg.kd_seg_path, scale=scale, boundary=world["seg"].shape,
@@ -84,6 +89,32 @@ def main():
             cv.save_raw(world[co], mags=[1, 2])
         save_svgraph(world["rag"], cfg.init_svgraph_path)
     ftimer.stop()
+
+    if args.train_models:
+        log.info("Step 0.5/9 - Training dense models on the toy ground truth")
+        ftimer.start("Model training")
+        if world is None:
+            world = generate_toy_world(shape=tuple(args.shape), n_cells=args.n_cells, seed=args.seed)
+        from syconn_tpu.cnn.toy import train_toy_dense_models
+
+        accs = train_toy_dense_models(
+            world, steps=args.train_steps, log_cb=log.info,
+            tasks=("organelles", "myelin"),
+            # finer patch resolves the small toy organelles
+            variant_overrides={"organelles": dict(features=(32, 64), strides=((2, 2, 2),), patch=(2, 2, 2))},
+        )
+        log.info("trained toy models: %s", accs)
+        # trained organelle predictions now replace the generated prob maps
+        for co in ["mi", "vc", "sj"]:
+            import shutil
+
+            p = getattr(cfg, f"kd_{co}_path")
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        from syconn_tpu.exec import exec_dense_prediction as _edp
+
+        _edp.predict_cellorganelles(mag=1)
+        ftimer.stop()
 
     from syconn_tpu.exec import (
         exec_dense_prediction,

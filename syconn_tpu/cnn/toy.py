@@ -1,0 +1,98 @@
+"""Quick task-model training on the synthetic EM world.
+
+Gives the example pipeline real (not seed-initialized) models: the toy
+world's organelle/myelin masks are ground truth, so a few hundred optimizer
+steps make the dense predictions match the generating process — and the
+downstream extraction then reproduces the known objects. This is the
+train -> deploy loop of the reference's cnn/ scripts in miniature.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from .. import global_params
+
+log = logging.getLogger("syconn_tpu.toy_train")
+
+__all__ = ["train_toy_dense_models"]
+
+
+def train_toy_dense_models(
+    world: Dict[str, np.ndarray],
+    steps: int = 300,
+    tile=(64, 64, 32),
+    batch: int = 2,
+    tasks: Sequence[str] = ("organelles", "myelin"),
+    learning_rate: float = 2e-3,
+    seed: int = 0,
+    log_cb=None,
+    variant_overrides: Optional[Dict[str, dict]] = None,
+) -> Dict[str, float]:
+    """Train dense models on the toy world's ground truth and persist them
+    to the working directory's model paths. Returns final accuracies."""
+    import jax.numpy as jnp
+
+    from ..models.io import save_model
+    from ..models.train import make_train_state, make_train_step
+    from ..models.unet3d import UNet3D, unet_variants
+
+    cfg = global_params.config
+    rng = np.random.default_rng(seed)
+    raw = world["raw"]
+    sh = np.array(raw.shape)
+    tile = np.minimum(np.asarray(tile), sh)
+
+    # labels per task
+    label_vols = {}
+    if "organelles" in tasks:
+        lab = np.zeros(raw.shape, np.int32)
+        lab[world["mi"] > 0] = 1
+        lab[world["vc"] > 0] = 2
+        lab[world["sj"] > 0] = 3
+        label_vols["organelles"] = lab
+    if "myelin" in tasks:
+        # toy proxy: dark membrane voxels of large cells count as myelin
+        lab = ((world["cells"] == 0) & (raw < 90)).astype(np.int32)
+        label_vols["myelin"] = lab
+    if "syntype" in tasks:
+        lab = np.zeros(raw.shape, np.int32)
+        lab[world["asym"] > 0] = 1
+        lab[world["sym"] > 0] = 2
+        label_vols["syntype"] = lab
+
+    accs = {}
+    hi = np.maximum(sh - tile, 1)
+    for task in tasks:
+        kw = dict(unet_variants(task))
+        if variant_overrides and task in variant_overrides:
+            kw.update(variant_overrides[task])
+        model = UNet3D(**kw)
+        state = make_train_state(model, (1, *tile, 1), learning_rate=learning_rate)
+        # inverse-frequency class weights (organelles are <3% of the volume)
+        from ..models.train import weighted_xent
+
+        lab_vol = label_vols[task]
+        freqs = np.bincount(lab_vol.reshape(-1), minlength=model.n_classes) + 1
+        weights = freqs.sum() / freqs  # full inverse frequency
+        weights = weights / weights.mean()
+        step_fn = make_train_step(loss_fn=weighted_xent(weights))
+        acc = 0.0
+        for i in range(steps):
+            xs, ys = [], []
+            for _ in range(batch):
+                off = np.array([rng.integers(0, h) for h in hi])
+                sl = tuple(slice(o, o + t) for o, t in zip(off, tile))
+                xs.append(raw[sl][..., None].astype(np.float32))
+                ys.append(lab_vol[sl])
+            state, m = step_fn(state, jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(ys)))
+            if (i + 1) % 50 == 0:
+                acc = float(m["acc"])
+                (log_cb or log.info)(f"[{task}] step {i + 1}/{steps} acc {acc:.3f}")
+        mpath = getattr(cfg, f"mpath_{task}")
+        save_model(mpath, model, state.params, extra_meta={"task": task, "toy_steps": steps})
+        accs[task] = acc
+    return accs

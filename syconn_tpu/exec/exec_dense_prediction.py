@@ -36,13 +36,22 @@ def _tile_params(mag: int, tile_shape=None, halo=None):
         tile_shape = tuple(cfg["tpu"]["chunk_shape"])
     if halo is None:
         halo = (32, 32, 16)
-    # shrink tiles for small (example/test) volumes
+    # shrink tiles for small (example/test) volumes, but snap to power-of-two
+    # buckets: every distinct tile shape costs a full XLA compile, so shapes
+    # must repeat across datasets/mags
     from ..handler.basics import kd_factory
 
     kd = kd_factory(cfg.kd_seg_path) if os.path.isdir(cfg.kd_seg_path) else None
     if kd is not None:
+        import numpy as _np
+
         sh = kd.mag_shape(mag)
-        tile_shape = tuple(int(min(t, max(32, int(s)))) for t, s in zip(tile_shape, sh))
+
+        def bucket(t, s):
+            b = 1 << max(5, int(_np.floor(_np.log2(max(int(s), 32)))))  # >= 32
+            return int(min(t, b))
+
+        tile_shape = tuple(bucket(t, s) for t, s in zip(tile_shape, sh))
     return tile_shape, halo
 
 

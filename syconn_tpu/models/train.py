@@ -46,24 +46,65 @@ def make_train_state(
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
-def softmax_xent_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Mean softmax cross entropy with integer labels; label -1 = ignore."""
+def softmax_xent_loss(
+    logits: jnp.ndarray, labels: jnp.ndarray, class_weights: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Mean softmax cross entropy with integer labels; label -1 = ignore.
+    ``class_weights`` re-weights per-voxel losses by their label's weight
+    (for heavily imbalanced dense targets)."""
     valid = labels >= 0
     safe_labels = jnp.maximum(labels, 0)
     losses = optax.softmax_cross_entropy_with_integer_labels(logits, safe_labels)
-    return jnp.sum(losses * valid) / jnp.maximum(jnp.sum(valid), 1)
+    w = valid.astype(losses.dtype)
+    if class_weights is not None:
+        w = w * class_weights[safe_labels]
+    return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1e-6)
+
+
+def weighted_xent(class_weights) -> Callable:
+    cw = jnp.asarray(class_weights, jnp.float32)
+
+    def loss(logits, labels):
+        return softmax_xent_loss(logits, labels, class_weights=cw)
+
+    return loss
+
+
+def state_shardings(state, mesh: Mesh, tensor_axis: str = "tp"):
+    """Tensor-parallel parameter layout: every kernel's output-feature
+    (last) dim shards over ``tensor_axis`` when divisible; optimizer moments
+    mirror the parameters. XLA SPMD partitions the conv contractions and
+    inserts the reduce-scatters/all-gathers."""
+    tp = mesh.shape.get(tensor_axis, 1)
+
+    def spec_of(leaf):
+        if (
+            tp > 1
+            and hasattr(leaf, "ndim")
+            and leaf.ndim >= 2
+            and leaf.shape[-1] % tp == 0
+            and leaf.shape[-1] >= 2 * tp
+        ):
+            return NamedSharding(mesh, P(*([None] * (leaf.ndim - 1) + [tensor_axis])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec_of, state)
 
 
 def make_train_step(
     mesh: Optional[Mesh] = None,
     data_axis: str = "data",
     spatial_axis: Optional[str] = "sp",
+    tensor_axis: Optional[str] = None,
     loss_fn: Callable = softmax_xent_loss,
+    state_template=None,
 ):
     """Build a jitted ``step(state, x, y) -> (state, metrics)``.
 
-    With a mesh, inputs are sharded batch-over-``data`` and (if the mesh has
-    a >1 ``spatial_axis``) z-over-``sp``; params/optimizer state replicated.
+    With a mesh: batch shards over ``data_axis``; the volume's z-axis over
+    ``spatial_axis`` (XLA inserts conv halo exchanges); with ``tensor_axis``
+    (requires ``state_template`` for the layout) parameters shard
+    tensor-parallel over their feature dims.
     """
 
     def step(state: TrainState, x: jnp.ndarray, y: jnp.ndarray):
@@ -85,10 +126,14 @@ def make_train_step(
     x_spec = P(data_axis, None, None, spatial, None)
     y_spec = P(data_axis, None, None, spatial)
     repl = NamedSharding(mesh, P())
+    if tensor_axis and tensor_axis in mesh.axis_names and state_template is not None:
+        state_shard = state_shardings(state_template, mesh, tensor_axis)
+    else:
+        state_shard = repl
     return jax.jit(
         step,
-        in_shardings=(repl, NamedSharding(mesh, x_spec), NamedSharding(mesh, y_spec)),
-        out_shardings=(repl, repl),
+        in_shardings=(state_shard, NamedSharding(mesh, x_spec), NamedSharding(mesh, y_spec)),
+        out_shardings=(state_shard, repl),
         donate_argnums=(0,),
     )
 

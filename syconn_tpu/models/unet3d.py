@@ -56,8 +56,13 @@ class ConvBlock(nn.Module):
     def __call__(self, x):
         for _ in range(2):
             x = nn.Conv(self.features, (3, 3, 3), padding="SAME", dtype=self.dtype)(x)
-            x = nn.GroupNorm(num_groups=min(8, self.features), dtype=jnp.float32)(x)
-            x = nn.gelu(x).astype(self.dtype)
+            # per-position channel LayerNorm: unlike GroupNorm (which pools
+            # statistics over the spatial dims) this is invariant to tile
+            # size and to the zero-filled halo of border tiles — a GN-normed
+            # net collapses when deployed on tiles whose padding fraction
+            # differs from training
+            x = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
+            x = nn.gelu(x)
         return x
 
 

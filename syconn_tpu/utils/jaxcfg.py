@@ -41,6 +41,13 @@ def _enable_cache():
     cache_dir = os.environ.get(
         "SYCONN_TPU_JAX_CACHE", os.path.expanduser("~/.cache/syconn_tpu/jax")
     )
+    # partition by platform: CPU executables AOT-compiled elsewhere (e.g. by
+    # a remote-compile TPU terminal) can carry mismatched machine features
+    platform = (
+        os.environ.get("SYCONN_TPU_PLATFORM")
+        or os.environ.get("JAX_PLATFORMS", "default")
+    ).replace(",", "_")
+    cache_dir = os.path.join(cache_dir, platform)
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -145,10 +145,11 @@ def generate_toy_world(
             asym_mask |= m
 
     # ------------------------------------------------------------- raw image
-    raw = rng.normal(128, 25, shape)
-    raw[cells == 0] -= 60  # dark membranes
-    raw[mi_mask] -= 35
-    raw[vc_mask] += 25
+    raw = rng.normal(128, 15, shape)
+    raw[cells == 0] -= 70  # dark membranes
+    raw[mi_mask] -= 50
+    raw[vc_mask] += 50
+    raw[sj_mask] -= 35  # synaptic densities are dark in EM
     raw = np.clip(raw, 0, 255).astype(np.uint8)
 
     to_prob = lambda m: (m.astype(np.uint8) * 255)

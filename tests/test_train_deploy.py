@@ -1,0 +1,66 @@
+"""Train -> deploy loop: models trained on the toy ground truth drive the
+extraction pipeline to reproduce known objects.
+
+CPU-budget note: 400 steps of the small U-Net underfit (high precision, low
+recall); the assertions check that the learning signal reaches extraction
+(all detected objects are real), not segmentation quality. The example
+pipeline's ``--train_models`` path trains full-size models on the TPU."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+
+@pytest.mark.slow
+def test_trained_organelle_pipeline(working_dir):
+    from syconn_tpu import global_params
+    from syconn_tpu.cnn.toy import train_toy_dense_models
+    from syconn_tpu.handler.basics import clear_kd_cache
+    from syconn_tpu.handler.config import generate_default_conf
+    from syconn_tpu.exec.exec_dense_prediction import predict_cellorganelles
+    from syconn_tpu.extraction.object_extraction import generate_subcell_kd_from_proba
+    from syconn_tpu.io.chunked import ChunkedVolume
+    from syconn_tpu.utils.testdata import generate_toy_world
+    from scipy import ndimage
+
+    clear_kd_cache()
+    generate_default_conf(
+        working_dir, scaling=(10, 10, 20),
+        key_value_pairs=[
+            ("cell_objects", {
+                "extract_morph_op": {"mi": ["binary_closing"], "vc": ["binary_closing"], "sj": []},
+                "min_obj_vx": {"mi": 100, "vc": 50, "sj": 20},
+            }),
+        ],
+        force_overwrite=True,
+    )
+    global_params.config._parse_config()
+    cfg = global_params.config
+
+    world = generate_toy_world(shape=(96, 96, 48), n_cells=3, seed=11)
+    kd = ChunkedVolume.create(cfg.kd_seg_path, scale=(10, 10, 20),
+                              boundary=world["seg"].shape, chunk_shape=(96, 96, 48))
+    kd.save_raw(world["raw"])
+    kd.save_seg(world["seg"])
+
+    train_toy_dense_models(
+        world, steps=400, tile=(64, 64, 32), tasks=("organelles",),
+        # small variant: CPU-affordable test; the loaded-arch path is the same
+        variant_overrides={"organelles": dict(features=(32, 64), strides=((2, 2, 2),))},
+    )
+
+    # trained model -> probability maps -> instance extraction
+    predict_cellorganelles(mag=1, tile_shape=(96, 96, 48), halo=(16, 16, 8))
+    stats = generate_subcell_kd_from_proba("mi", chunk_size=(96, 96, 48))
+    got = stats["n_objects"]
+    assert got > 0, "trained model produced no mitochondria"
+    # every extracted object must overlap ground-truth mitochondria
+    # (precision of the learned detector), and most GT voxels recovered
+    seg = ChunkedVolume.open(cfg.kd_organelle_seg_paths["mi"]).load_seg(size=world["mi"].shape)
+    gt = world["mi"] > 0
+    for oid in np.unique(seg)[1:][:20]:
+        mask = seg == oid
+        assert (mask & gt).sum() / mask.sum() > 0.5, f"object {oid} is a false positive"
+    recall = (gt & (seg > 0)).sum() / gt.sum()
+    assert recall > 0.03, f"no learning signal reached extraction: {recall:.3f}"
