@@ -153,3 +153,34 @@ def load_gt_from_h5(path: str):
     from .compression import load_from_h5py
 
     return load_from_h5py(path, hdf5_names=["raw", "label"])
+
+
+def load_gt_from_kzip(kzip_path: str, gt_type: str = "axgt"):
+    """Annotated-skeleton ground truth from a k.zip (reference: :49).
+
+    Expects an ``annotation.xml`` (KNOSSOS nml) whose per-thing comments
+    name the label (e.g. 'axon'/'dendrite'/'soma'). Returns
+    (node coords (N, 3), integer labels (N,)).
+    """
+    import xml.etree.ElementTree as ET
+
+    from .basics import read_txt_from_zip
+
+    nml = read_txt_from_zip(kzip_path, "annotation.xml").decode()
+    root = ET.fromstring(nml)
+    coords, labels = [], []
+    for thing in root.iter("thing"):
+        comment = (thing.get("comment") or "").strip()
+        try:
+            lab = str2int_converter(comment, gt_type) if comment else -1
+        except KeyError:
+            try:
+                lab = int(comment)
+            except ValueError:
+                lab = -1
+        for node in thing.iter("node"):
+            coords.append(
+                [float(node.get("x")), float(node.get("y")), float(node.get("z"))]
+            )
+            labels.append(lab)
+    return np.asarray(coords, np.float32).reshape(-1, 3), np.asarray(labels, np.int64)

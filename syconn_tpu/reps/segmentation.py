@@ -269,6 +269,37 @@ class SegmentationObject(SegmentationBase):
         ss.push()
         self._skeleton = skeleton
 
+    # ----------------------------------------------------------------- views
+    @property
+    def view_path(self) -> str:
+        return os.path.join(self.segobj_dir, "views.pkl")
+
+    def load_views(self, view_key: str = "raw") -> Optional[np.ndarray]:
+        """Cached rendered views of this object (reference:
+        segmentation.py:671/:972)."""
+        from ..backend import CompressedStorage
+
+        if not os.path.isfile(self.view_path):
+            return None
+        cs = CompressedStorage(self.view_path, read_only=True, disable_locking=True)
+        key = (self.id, view_key)
+        if key in cs:
+            return cs[key]
+        if self.id in cs:
+            return cs[self.id]
+        return None
+
+    def save_views(self, views: np.ndarray, view_key: str = "raw"):
+        from ..backend import CompressedStorage
+
+        cs = CompressedStorage(self.view_path, read_only=False)
+        cs[(self.id, view_key)] = np.asarray(views)
+        cs.push()
+
+    @property
+    def views(self) -> Optional[np.ndarray]:
+        return self.load_views()
+
     # ------------------------------------------------------------- locations
     def sample_locations(self, ds_factor: Optional[float] = None) -> np.ndarray:
         """Surface sample locations in nm (reference: segmentation.py:700)."""
