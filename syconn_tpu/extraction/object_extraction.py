@@ -64,29 +64,49 @@ def object_segmentation_chunk(
     struct: Optional[np.ndarray],
     min_seed_vx: int,
     sigma: float = 0.0,
+    use_device: Optional[bool] = None,
 ) -> np.ndarray:
     """Binary segmentation of one chunk (+halo) from a uint8 prob map
     (reference worker: object_extraction_steps.py:204
     ``_object_segmentation_thread``). Returns a uint32 label volume
-    (chunk-local components)."""
-    data = prob.astype(np.float32)
-    if sigma and sigma > 0:
-        data = gaussian_blur(data, sigma)
-    mask = data >= float(thresh_uint8)
+    (chunk-local components).
+
+    Blur + threshold + morphology run as one fused device program when an
+    accelerator is attached (ops/morphology_jax.py); connected components
+    and the watershed flooding stay on host.
+    """
     morph_ops = list(morph_ops or [])
-    # trailing erosions seed a watershed on the pre-erosion mask
+    if use_device is None:
+        from ..utils.jaxcfg import use_device_kernels
+
+        use_device = use_device_kernels()
     n_trailing_ero = 0
     for op in reversed(morph_ops):
         if op == "binary_erosion":
             n_trailing_ero += 1
         else:
             break
-    if n_trailing_ero > 0:
+    if use_device and struct is not None:
+        from ..ops.morphology_jax import segment_chunk_device
+
+        mask, eroded, _ = segment_chunk_device(
+            prob, float(thresh_uint8), morph_ops, struct, sigma=sigma
+        )
+    else:
+        data = prob.astype(np.float32)
+        if sigma and sigma > 0:
+            data = gaussian_blur(data, sigma)
+        mask = data >= float(thresh_uint8)
         pre_ops = morph_ops[: len(morph_ops) - n_trailing_ero]
         mask = apply_morphological_operations(mask, pre_ops, struct=struct)
-        eroded = apply_morphological_operations(
-            mask, ["binary_erosion"] * n_trailing_ero, struct=struct
+        eroded = (
+            apply_morphological_operations(
+                mask, ["binary_erosion"] * n_trailing_ero, struct=struct
+            )
+            if n_trailing_ero > 0
+            else mask
         )
+    if n_trailing_ero > 0:
         seeds, n = connected_components(eroded)
         if n > 0 and min_seed_vx > 1:
             ids, counts = np.unique(seeds[seeds != 0], return_counts=True)
@@ -94,9 +114,7 @@ def object_segmentation_chunk(
             if len(small):
                 sel = np.isin(seeds, small)
                 seeds[sel] = 0
-        labels = watershed_from_seeds(mask, seeds)
-        return labels
-    mask = apply_morphological_operations(mask, morph_ops, struct=struct)
+        return watershed_from_seeds(mask, seeds)
     labels, _ = connected_components(mask)
     return labels
 

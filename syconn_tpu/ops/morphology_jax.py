@@ -1,0 +1,143 @@
+"""Device (XLA/TPU) binary morphology for the extraction pipeline.
+
+Device counterpart of :mod:`syconn_tpu.ops.morphology` (scipy host path;
+reference semantics: syconn/proc/image.py:485 ``apply_morphological_
+operations`` with anisotropic structuring elements). Erosion/dilation are
+expressed as structuring-element box counts via a dense 3D convolution of
+the {0,1} mask with the (small) structuring element — one MXU/VPU-friendly
+op instead of scipy's per-voxel scans:
+
+* dilation: ``conv(mask, struct) > 0``
+* erosion:  ``conv(mask, struct) == sum(struct)``
+* opening/closing: the two composed.
+
+The full configured chain (plus the Gaussian blur and threshold) fuses into
+ONE jitted program per chunk shape, so object extraction runs
+load -> device(chain + CC seeds) -> host CC, with the blur/morphology no
+longer a host bottleneck at GVx scale.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.jaxcfg import setup_jax
+
+setup_jax()
+
+__all__ = ["morphology_chain_device", "segment_chunk_device"]
+
+
+def _conv_count(mask: jnp.ndarray, struct: jnp.ndarray) -> jnp.ndarray:
+    """Count of structuring-element hits per voxel ('same' padding)."""
+    x = mask.astype(jnp.float32)[None, ..., None]  # NXYZC
+    k = struct.astype(jnp.float32)[..., None, None]  # XYZIO
+    out = jax.lax.conv_general_dilated(
+        x, k,
+        window_strides=(1, 1, 1),
+        padding="SAME",
+        dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
+    )
+    return out[0, ..., 0]
+
+
+def _erode(mask, struct, n_hits):
+    return _conv_count(mask, struct) >= n_hits - 0.5
+
+
+def _dilate(mask, struct, n_hits):
+    return _conv_count(mask, struct) > 0.5
+
+
+@partial(jax.jit, static_argnames=("ops", "struct_shape"))
+def _chain(mask: jnp.ndarray, struct: jnp.ndarray, ops: Tuple[str, ...], struct_shape):
+    n_hits = jnp.sum(struct)
+    for op in ops:
+        if op == "binary_erosion":
+            mask = _erode(mask, struct, n_hits)
+        elif op == "binary_dilation":
+            mask = _dilate(mask, struct, n_hits)
+        elif op == "binary_opening":
+            mask = _dilate(_erode(mask, struct, n_hits), struct, n_hits)
+        elif op == "binary_closing":
+            mask = _erode(_dilate(mask, struct, n_hits), struct, n_hits)
+        else:
+            raise ValueError(op)
+    return mask
+
+
+def morphology_chain_device(
+    mask: np.ndarray, operations: Sequence[str], struct: np.ndarray
+) -> np.ndarray:
+    """Apply a named chain of binary ops on device; matches
+    ops/morphology.apply_morphological_operations (scipy border semantics:
+    'same'-padded counts = zero-padded borders, scipy's default)."""
+    out = _chain(
+        jnp.asarray(np.asarray(mask, bool)),
+        jnp.asarray(np.asarray(struct, bool)),
+        tuple(operations),
+        tuple(np.asarray(struct).shape),
+    )
+    return np.asarray(jax.device_get(out))
+
+
+@partial(jax.jit, static_argnames=("pre_ops", "n_trailing_ero", "struct_shape", "sigma"))
+def _segment_chunk(prob, thresh, struct, pre_ops, n_trailing_ero, struct_shape, sigma):
+    data = prob.astype(jnp.float32)
+    # separable Gaussian blur when sigma > 0 (compile-time constant)
+    if sigma > 0:
+        r = int(np.ceil(3 * sigma))
+        xs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+        g = jnp.exp(-0.5 * (xs / sigma) ** 2)
+        g = g / jnp.sum(g)
+        for ax in range(3):
+            shape = [1, 1, 1]
+            shape[ax] = 2 * r + 1
+            k = g.reshape(shape)[..., None, None]
+            data = jax.lax.conv_general_dilated(
+                data[None, ..., None], k, (1, 1, 1), "SAME",
+                dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
+            )[0, ..., 0]
+    mask = data >= thresh
+    mask = _chain(mask, struct, pre_ops, struct_shape)
+    eroded = mask
+    if n_trailing_ero > 0:
+        n_hits = jnp.sum(struct)
+        for _ in range(n_trailing_ero):
+            eroded = _erode(eroded, struct, n_hits)
+    return mask, eroded
+
+
+def segment_chunk_device(
+    prob: np.ndarray,
+    thresh_uint8: float,
+    morph_ops: Sequence[str],
+    struct: np.ndarray,
+    sigma: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Device half of the object-segmentation chunk worker: blur + threshold
+    + morphology chain; returns (mask, eroded_seed_mask, n_trailing_ero).
+    Connected components / watershed stay on host (ops/cc.py)."""
+    morph_ops = list(morph_ops or [])
+    n_tr = 0
+    for op in reversed(morph_ops):
+        if op == "binary_erosion":
+            n_tr += 1
+        else:
+            break
+    pre_ops = tuple(morph_ops[: len(morph_ops) - n_tr])
+    mask, eroded = _segment_chunk(
+        jnp.asarray(prob),
+        float(thresh_uint8),
+        jnp.asarray(np.asarray(struct, bool)),
+        pre_ops,
+        n_tr,
+        tuple(np.asarray(struct).shape),
+        float(sigma),
+    )
+    return np.asarray(mask), np.asarray(eroded), n_tr

@@ -84,3 +84,33 @@ def test_detect_cs_device_overflow_fallback():
     host = detect_cs(seg, stencil=np.asarray((5, 5, 3), np.int32))
     dev = detect_cs_tpu(seg, stencil=(5, 5, 3), tile=(16, 16, 8), K=8)
     assert np.array_equal(host, dev)
+
+
+def test_morphology_device_matches_scipy(rng):
+    from syconn_tpu.ops.morphology import apply_morphological_operations, get_aniso_struct
+    from syconn_tpu.ops.morphology_jax import morphology_chain_device
+
+    struct = get_aniso_struct((10, 10, 20))
+    mask = rng.random((32, 28, 20)) < 0.4
+    for ops in [["binary_dilation"], ["binary_erosion"],
+                ["binary_opening", "binary_closing"],
+                ["binary_closing", "binary_erosion", "binary_erosion"]]:
+        host = apply_morphological_operations(mask.copy(), ops, struct=struct)
+        dev = morphology_chain_device(mask, ops, struct)
+        assert np.array_equal(host, dev), f"mismatch for {ops}"
+
+
+def test_object_segmentation_chunk_device_matches_host(rng):
+    from syconn_tpu.extraction.object_extraction import object_segmentation_chunk
+    from syconn_tpu.ops.morphology import get_aniso_struct
+
+    struct = get_aniso_struct((10, 10, 20))
+    prob = np.zeros((48, 48, 24), np.uint8)
+    prob[8:24, 8:24, 4:20] = 255
+    prob[28:44, 8:24, 4:20] = 255
+    ops = ["binary_opening", "binary_closing", "binary_erosion"]
+    host = object_segmentation_chunk(prob, 128, ops, struct, min_seed_vx=5, use_device=False)
+    dev = object_segmentation_chunk(prob, 128, ops, struct, min_seed_vx=5, use_device=True)
+    assert np.array_equal(host > 0, dev > 0)
+    # same component structure (labels may permute)
+    assert len(np.unique(host)) == len(np.unique(dev))
