@@ -88,25 +88,25 @@ def extract_contact_sites(
 
     from ..utils.jaxcfg import use_device_kernels
 
-    device_path = use_device_kernels()
+    # contact detection moves 4 B/voxel up + 8 B/voxel down; on transfer-
+    # bound attachments the OpenMP host kernel wins, so the device path is
+    # explicit opt-in (config tpu.use_device_kernels: true) rather than auto
+    explicit = cfg["tpu"].get("use_device_kernels", "auto")
+    device_path = use_device_kernels() and explicit is True
     dev_lock = threading.Lock()
 
-    def work(cix):
+    def _detect_host(seg):
+        if seg.max() < 2**32:
+            return detect_cs(seg.astype(np.uint32), stencil=stencil)
+        from ..ops.contacts import detect_cs_64bit
+
+        partners = detect_cs_64bit(seg, stencil=stencil)
+        return (partners[..., 0] << np.uint64(32)) | partners[..., 1]
+
+    def _post(cix, cs_seg):
+        """Host post-processing after contact detection (threads)."""
         off = np.array(cix) * cs
         size = np.minimum(cs, sh - off)
-        seg = kd.load_seg(offset=off - halo, size=size + 2 * halo, mag=mag)
-        if device_path and seg.max() < 2**31:
-            from ..ops.contacts_jax import detect_cs_tpu
-
-            with dev_lock:
-                cs_seg = detect_cs_tpu(seg, stencil=tuple(int(s) for s in stencil))
-        elif seg.max() < 2**32:
-            cs_seg = detect_cs(seg.astype(np.uint32), stencil=stencil)
-        else:
-            from ..ops.contacts import detect_cs_64bit
-
-            partners = detect_cs_64bit(seg, stencil=stencil)
-            cs_seg = (partners[..., 0] << np.uint64(32)) | partners[..., 1]
         # close + dilate each contact site into background only
         n_close = int(np.max(stencil // 2))
         if n_close > 0:
@@ -131,7 +131,54 @@ def extract_contact_sites(
         syn_kd.save_seg(cs_seg * (sj_fg > 0), offset=off, mags=(mag,), data_mag=mag)
         return off, cs_props, syn_props, cs_asym, cs_sym, voxels_syn
 
-    results = map_parallel(work, chunk_ixs, n_workers=n_workers, desc="extract_contact_sites")
+    def _load(cix):
+        off = np.array(cix) * cs
+        size = np.minimum(cs, sh - off)
+        return kd.load_seg(offset=off - halo, size=size + 2 * halo, mag=mag)
+
+    if device_path:
+        # pipelined: loader threads prefetch; the device detects (async,
+        # depth 2); host threads do closing/typing/writes concurrently —
+        # replaces lock-serialized per-thread device calls
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..ops.contacts_jax import CsDispatcher
+
+        dispatcher = CsDispatcher(stencil=tuple(int(s) for s in stencil))
+        loader = ThreadPoolExecutor(max_workers=min(8, len(chunk_ixs)))
+        poster = ThreadPoolExecutor(max_workers=n_workers or 8)
+        prefetch = 4
+        load_futs = {
+            i: loader.submit(_load, chunk_ixs[i])
+            for i in range(min(prefetch, len(chunk_ixs)))
+        }
+        inflight: deque = deque()
+        post_futs = []
+        for i in range(len(chunk_ixs)):
+            seg = load_futs.pop(i).result()
+            nxt = i + prefetch
+            if nxt < len(chunk_ixs):
+                load_futs[nxt] = loader.submit(_load, chunk_ixs[nxt])
+            if seg.max() < 2**31:
+                inflight.append((i, dispatcher.dispatch(seg)))
+            else:
+                post_futs.append(poster.submit(_post, chunk_ixs[i], _detect_host(seg)))
+            while len(inflight) > 2:
+                j, handle = inflight.popleft()
+                post_futs.append(poster.submit(_post, chunk_ixs[j], dispatcher.fetch(handle)))
+        while inflight:
+            j, handle = inflight.popleft()
+            post_futs.append(poster.submit(_post, chunk_ixs[j], dispatcher.fetch(handle)))
+        results = [f.result() for f in post_futs]
+        loader.shutdown()
+        poster.shutdown()
+    else:
+
+        def work(cix):
+            return _post(cix, _detect_host(_load(cix)))
+
+        results = map_parallel(work, chunk_ixs, n_workers=n_workers, desc="extract_contact_sites")
 
     # --------------------------------------------------------------- reduce
     def merge_props(prop_key):

@@ -149,6 +149,44 @@ def detect_cs_device(
     return out[: out_shape[0], : out_shape[1], : out_shape[2]], overflow.reshape(grid)
 
 
+class CsDispatcher:
+    """Async dispatch/fetch wrapper around :func:`detect_cs_device` so a
+    driver can overlap device execution with host post-processing (the
+    synapse extractor's closing/dilation/type counting)."""
+
+    def __init__(self, stencil=(13, 13, 7), tile=(32, 32, 16), K: int = 32):
+        self.stencil = tuple(int(s) for s in stencil)
+        self.tile = tuple(int(t) for t in tile)
+        self.K = int(K)
+
+    def dispatch(self, seg: np.ndarray):
+        seg = np.ascontiguousarray(seg)
+        assert seg.max(initial=0) < 2**31
+        dev = detect_cs_device(
+            jnp.asarray(seg.astype(np.int32)), self.stencil, self.tile, self.K
+        )
+        return (dev, seg)
+
+    def fetch(self, handle) -> np.ndarray:
+        (partners_d, overflow_d), seg = handle
+        partners = np.asarray(partners_d)
+        overflow = np.asarray(overflow_d)
+        lo = partners[..., 0].astype(np.uint64)
+        hi = partners[..., 1].astype(np.uint64)
+        packed = (lo << np.uint64(32)) | hi
+        if overflow.any():
+            from .contacts import detect_cs
+
+            full = detect_cs(seg.astype(np.uint32), stencil=np.asarray(self.stencil, np.int32))
+            for gx, gy, gz in np.argwhere(overflow):
+                sl = tuple(
+                    slice(g * t, min((g + 1) * t, packed.shape[d]))
+                    for d, (g, t) in enumerate(zip((gx, gy, gz), self.tile))
+                )
+                packed[sl] = full[sl]
+        return packed
+
+
 def detect_cs_tpu(
     seg: np.ndarray,
     stencil=(13, 13, 7),
