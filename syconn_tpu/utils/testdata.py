@@ -41,15 +41,21 @@ def generate_toy_world(
     seeds = np.stack(
         [rng.uniform(0.15 * s, 0.85 * s, n_seeds) for s in shape], axis=1
     )
-    grid = np.stack(
-        np.meshgrid(*[np.arange(s) for s in shape], indexing="ij"), axis=-1
-    ).astype(np.float64)
-    # anisotropy-aware distances
-    d = np.zeros((n_seeds,) + shape, np.float64)
+    # anisotropy-aware nearest seed, running argmin (no (n_seeds, vol) alloc)
+    axes = [np.arange(s, dtype=np.float32) * np.float32(scale[d] / scale[0])
+            for d, s in enumerate(shape)]
+    best_d = np.full(shape, np.inf, np.float32)
+    cells = np.ones(shape, np.uint64)
     for i in range(n_seeds):
-        diff = (grid - seeds[i][None, None, None]) * scale[None, None, None] / scale[0]
-        d[i] = np.linalg.norm(diff, axis=-1)
-    cells = (np.argmin(d, axis=0) + 1).astype(np.uint64)
+        s_nm = seeds[i] * scale / scale[0]
+        di = (
+            (axes[0] - np.float32(s_nm[0]))[:, None, None] ** 2
+            + (axes[1] - np.float32(s_nm[1]))[None, :, None] ** 2
+            + (axes[2] - np.float32(s_nm[2]))[None, None, :] ** 2
+        )
+        closer = di < best_d
+        best_d = np.where(closer, di, best_d)
+        cells[closer] = i + 1
     # carve extracellular gaps between cells (1-voxel boundaries -> 0)
     from ..ops.contacts import detect_seg_boundaries
 
@@ -67,9 +73,10 @@ def generate_toy_world(
         coords = np.argwhere(mask)
         k = min(svs_per_cell, max(1, len(coords) // 5000))
         centers = coords[rng.choice(len(coords), size=k, replace=False)]
-        dd = np.linalg.norm(
-            coords[:, None, :].astype(np.float64) - centers[None].astype(np.float64), axis=-1
-        )
+        cf = coords.astype(np.float32)
+        dd = np.zeros((len(coords), k), np.float32)
+        for j in range(k):
+            dd[:, j] = np.sum((cf - centers[j].astype(np.float32)[None]) ** 2, axis=1)
         assign = np.argmin(dd, axis=1)
         for j in range(k):
             sel = coords[assign == j]
@@ -78,20 +85,25 @@ def generate_toy_world(
             next_sv += 1
 
     # ------------------------------------------------------ rag (adjacency)
-    edges = set()
-    for a_sl, b_sl, ax in (
-        ((slice(None, -1), slice(None), slice(None)), (slice(1, None), slice(None), slice(None)), 0),
-        ((slice(None), slice(None, -1), slice(None)), (slice(None), slice(1, None), slice(None)), 1),
-        ((slice(None), slice(None), slice(None, -1)), (slice(None), slice(None), slice(1, None)), 2),
+    pair_sets = []
+    for a_sl, b_sl in (
+        ((slice(None, -1), slice(None), slice(None)), (slice(1, None), slice(None), slice(None))),
+        ((slice(None), slice(None, -1), slice(None)), (slice(None), slice(1, None), slice(None))),
+        ((slice(None), slice(None), slice(None, -1)), (slice(None), slice(None), slice(1, None))),
     ):
         a = seg[a_sl].reshape(-1)
         b = seg[b_sl].reshape(-1)
         sel = (a != 0) & (b != 0) & (a != b)
-        for x, y in zip(a[sel], b[sel]):
-            if sv2cell[int(x)] == sv2cell[int(y)]:  # RAG within cells only
-                edges.add((min(int(x), int(y)), max(int(x), int(y))))
-    # also bridge disconnected SVs of each cell (Voronoi split guarantees contact)
-    rag = np.array(sorted(edges), np.uint64).reshape(-1, 2)
+        lo = np.minimum(a[sel], b[sel])
+        hi = np.maximum(a[sel], b[sel])
+        pair_sets.append(np.unique((lo << np.uint64(32)) | hi))
+    packed = np.unique(np.concatenate(pair_sets)) if pair_sets else np.zeros(0, np.uint64)
+    lo = (packed >> np.uint64(32)).astype(np.uint64)
+    hi = (packed & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    same_cell = np.array(
+        [sv2cell[int(x)] == sv2cell[int(y)] for x, y in zip(lo, hi)], bool
+    ) if len(packed) else np.zeros(0, bool)
+    rag = np.stack([lo[same_cell], hi[same_cell]], axis=1).reshape(-1, 2)
 
     # -------------------------------------------------------- organelles
     def blobs_inside(n, r_vox, only_cells=None):
@@ -133,16 +145,10 @@ def generate_toy_world(
     sj_seed = rng.random(shape) < 0.004
     sj_mask = ndimage.binary_dilation(sj_seed & interface, iterations=3) & interface
 
-    # sym/asym: split sj regions arbitrarily by x-parity of blob index
+    # sym/asym: split sj regions arbitrarily by blob-index parity
     sj_lab, n_sj = ndimage.label(sj_mask)
-    sym_mask = np.zeros(shape, bool)
-    asym_mask = np.zeros(shape, bool)
-    for i in range(1, n_sj + 1):
-        m = sj_lab == i
-        if i % 2 == 0:
-            sym_mask |= m
-        else:
-            asym_mask |= m
+    sym_mask = sj_mask & (sj_lab % 2 == 0)
+    asym_mask = sj_mask & (sj_lab % 2 == 1)
 
     # ------------------------------------------------------------- raw image
     raw = rng.normal(128, 15, shape)
