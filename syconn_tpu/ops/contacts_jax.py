@@ -150,25 +150,57 @@ def detect_cs_device(
 
 
 class CsDispatcher:
-    """Async dispatch/fetch wrapper around :func:`detect_cs_device` so a
+    """Async dispatch/fetch wrapper around the device contact kernels so a
     driver can overlap device execution with host post-processing (the
-    synapse extractor's closing/dilation/type counting)."""
+    synapse extractor's closing/dilation/type counting).
 
-    def __init__(self, stencil=(13, 13, 7), tile=(32, 32, 16), K: int = 32):
+    ``kernel``: ``"pallas"`` (hand-written Mosaic kernel, ~3x the XLA
+    formulation on TPU), ``"xla"``, or ``"auto"`` (pallas on real
+    accelerators, xla elsewhere — pallas on CPU would run interpreted)."""
+
+    def __init__(self, stencil=(13, 13, 7), tile=(32, 32, 16), K: int = 32,
+                 kernel: str = "auto"):
         self.stencil = tuple(int(s) for s in stencil)
         self.tile = tuple(int(t) for t in tile)
         self.K = int(K)
+        if kernel == "auto":
+            kernel = "xla" if jax.default_backend() == "cpu" else "pallas"
+        assert kernel in ("pallas", "xla"), f"unknown cs kernel: {kernel!r}"
+        self.kernel = kernel
 
     def dispatch(self, seg: np.ndarray):
         seg = np.ascontiguousarray(seg)
         assert seg.max(initial=0) < 2**31
+        if self.kernel == "pallas":
+            from .contacts_pallas import _detect_cs_pallas, _pallas_prep
+
+            tile_xy = self.tile[:2]
+            seg_p, offs, cands, overflow, out_shape = _pallas_prep(
+                seg, self.stencil, tile_xy, self.K
+            )
+            dev = _detect_cs_pallas(
+                jnp.asarray(seg_p), jnp.asarray(offs), jnp.asarray(cands),
+                self.stencil, tile_xy, self.K,
+                jax.default_backend() == "cpu",
+            )
+            return ("pallas", dev, seg, (overflow, offs, out_shape))
         dev = detect_cs_device(
             jnp.asarray(seg.astype(np.int32)), self.stencil, self.tile, self.K
         )
-        return (dev, seg)
+        return ("xla", dev, seg, None)
 
     def fetch(self, handle) -> np.ndarray:
-        (partners_d, overflow_d), seg = handle
+        kind, dev, seg, extra = handle
+        if kind == "pallas":
+            from .contacts_pallas import _pallas_finish
+
+            overflow, offs, out_shape = extra
+            lo_t, hi_t = jax.device_get(dev)
+            return _pallas_finish(
+                seg, lo_t, hi_t, overflow, offs, self.stencil,
+                self.tile[:2], out_shape,
+            )
+        partners_d, overflow_d = dev
         partners = np.asarray(partners_d)
         overflow = np.asarray(overflow_d)
         lo = partners[..., 0].astype(np.uint64)

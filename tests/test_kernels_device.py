@@ -114,3 +114,36 @@ def test_object_segmentation_chunk_device_matches_host(rng):
     assert np.array_equal(host > 0, dev > 0)
     # same component structure (labels may permute)
     assert len(np.unique(host)) == len(np.unique(dev))
+
+
+def test_detect_cs_pallas_matches_host():
+    """The hand-written Pallas kernel (interpret mode on CPU; Mosaic on TPU)
+    must match the native host kernel exactly, including the smallest-id
+    tie-break and the boundary gate."""
+    from syconn_tpu.ops.contacts import detect_cs
+    from syconn_tpu.ops.contacts_pallas import detect_cs_pallas
+
+    rng = np.random.default_rng(3)
+    seg = np.kron(
+        rng.integers(0, 5, size=(10, 10, 6)).astype(np.uint32),
+        np.ones((6, 6, 6), np.uint32),
+    )
+    host = detect_cs(seg)
+    pal = detect_cs_pallas(seg, tile_xy=(16, 16), K=16)
+    assert np.array_equal(host, pal)
+
+
+def test_cs_dispatcher_pallas_path():
+    """CsDispatcher(kernel='pallas') must round-trip through prep/device/
+    finish and agree with the host kernel (overflow columns included)."""
+    from syconn_tpu.ops.contacts import detect_cs
+    from syconn_tpu.ops.contacts_jax import CsDispatcher
+
+    rng = np.random.default_rng(4)
+    seg = np.kron(
+        rng.integers(0, 24, size=(12, 12, 6)).astype(np.uint32),
+        np.ones((4, 4, 6), np.uint32),
+    )  # enough diversity to overflow some K=8 columns
+    host = detect_cs(seg)
+    d = CsDispatcher(tile=(16, 16, 8), K=8, kernel="pallas")
+    assert np.array_equal(host, d.fetch(d.dispatch(seg)))
