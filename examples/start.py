@@ -36,8 +36,14 @@ def main():
                         help="train the dense models on the toy ground truth "
                              "before running inference (train->deploy loop)")
     parser.add_argument("--train_steps", type=int, default=800)
+    parser.add_argument("--organelles", type=str, default="mi,vc",
+                        help="comma-separated cell organelles to process "
+                             "(subset of mi,vc,er,golgi; sj is always used "
+                             "for synapses)")
     args = parser.parse_args()
 
+    organelles = [o.strip() for o in args.organelles.split(",") if o.strip()]
+    assert set(organelles) <= {"mi", "vc", "er", "golgi"}, organelles
     wd = args.working_dir or os.path.expanduser("~/syconn_tpu_example/")
     scale = np.array([10, 10, 20])
     chunk_size = (128, 128, 64)
@@ -51,10 +57,16 @@ def main():
             ("syntype_avail", True),
             ("min_cc_size_ssv", 500),
             ("log_level", 20 if args.log_level == "INFO" else 10),
+            ("process_cell_organelles", organelles),
             ("cell_objects", {
-                "extract_morph_op": {"mi": ["binary_closing"], "vc": ["binary_closing"], "sj": []},
-                "min_obj_vx": {"mi": 200, "vc": 100, "sj": 30, "sv": 1, "cs": 10, "syn": 10, "syn_ssv": 20},
-                "sizethresholds": {"mi": 200, "vc": 100, "sj": 30},
+                # per-key config fallback is top-level: nested dicts replace
+                # the defaults wholesale, so every enabled organelle needs
+                # its entries here
+                "extract_morph_op": {"mi": ["binary_closing"], "vc": ["binary_closing"], "sj": [],
+                                     "er": ["binary_closing"], "golgi": ["binary_closing"]},
+                "min_obj_vx": {"mi": 200, "vc": 100, "sj": 30, "er": 100, "golgi": 100,
+                               "sv": 1, "cs": 10, "syn": 10, "syn_ssv": 20},
+                "sizethresholds": {"mi": 200, "vc": 100, "sj": 30, "er": 100, "golgi": 100},
             }),
             ("skeleton", {"kimimaro_skelgen": {"dust_threshold": 200},
                           "kimimaro_merge": {"dust_threshold": 150, "tick_threshold": 300}}),
@@ -83,7 +95,7 @@ def main():
                                   chunk_shape=chunk_size)
         kd.save_raw(world["raw"], mags=[1, 2, 4])
         kd.save_seg(world["seg"], mags=[1, 2])
-        for co in ["mi", "vc", "sj", "sym", "asym"]:
+        for co in organelles + ["sj", "sym", "asym"]:
             cv = ChunkedVolume.create(getattr(cfg, f"kd_{co}_path"), scale=scale,
                                       boundary=world["seg"].shape, chunk_shape=chunk_size)
             cv.save_raw(world[co], mags=[1, 2])

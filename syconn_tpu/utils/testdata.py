@@ -139,6 +139,39 @@ def generate_toy_world(
     mi_mask = blobs_inside(max(6, n_cells * 3), 7)
     vc_mask = blobs_inside(max(8, n_cells * 4), 5)
 
+    # er: tubular reticulum — short random walks from each cell seed,
+    # dilated to ~2-voxel tubes, clipped to the cell
+    er_mask = np.zeros(shape, bool)
+    for c in range(1, n_seeds + 1):
+        p = seeds[c - 1].astype(np.int64)
+        if cells[tuple(np.clip(p, 0, np.array(shape) - 1))] != c:
+            cc = np.argwhere(cells == c)
+            if not len(cc):
+                continue
+            p = cc[rng.integers(len(cc))]
+        for _ in range(max(120, int(np.prod(shape) ** (1 / 3)) * 4)):
+            step = rng.integers(-1, 2, 3)
+            step[2] = rng.integers(-1, 2) if rng.random() < 0.4 else 0
+            q = np.clip(p + step, 1, np.array(shape) - 2)
+            if cells[tuple(q)] == c:
+                p = q
+            er_mask[tuple(p)] = True
+    er_mask = ndimage.binary_dilation(er_mask, iterations=1) & (cells > 0)
+
+    # golgi: stacks of flat discs (cisternae) inside cells
+    golgi_mask = np.zeros(shape, bool)
+    xx, yy = np.meshgrid(np.arange(-6, 7), np.arange(-6, 7), indexing="ij")
+    disc = (xx / 6.0) ** 2 + (yy / 6.0) ** 2 <= 1.0
+    for _ in range(n_cells * 2):
+        p = np.array([rng.integers(8, s - 8) for s in shape])
+        cid = cells[tuple(p)]
+        if cid == 0:
+            continue
+        for dz in range(-3, 4, 2):  # 4 cisternae, 2-voxel spacing
+            z = int(np.clip(p[2] + dz, 0, shape[2] - 1))
+            sl = (slice(p[0] - 6, p[0] + 7), slice(p[1] - 6, p[1] + 7), z)
+            golgi_mask[sl] |= disc & (cells[sl] == cid)
+
     # sj: at cell-cell interfaces — dilate boundary, keep between two cells
     interface = ndimage.binary_dilation(cells == 0, iterations=2)
     # pick contact patches: random subset of interface blobs
@@ -155,6 +188,8 @@ def generate_toy_world(
     raw[cells == 0] -= 70  # dark membranes
     raw[mi_mask] -= 50
     raw[vc_mask] += 50
+    raw[er_mask] -= 20  # ER membranes slightly dark
+    raw[golgi_mask] -= 40  # stacked cisternae dark
     raw[sj_mask] -= 35  # synaptic densities are dark in EM
     raw = np.clip(raw, 0, 255).astype(np.uint8)
 
@@ -168,6 +203,8 @@ def generate_toy_world(
         "sj": to_prob(sj_mask),
         "sym": to_prob(sym_mask),
         "asym": to_prob(asym_mask),
+        "er": to_prob(er_mask),
+        "golgi": to_prob(golgi_mask),
         "rag": rag,
         "sv2cell": sv2cell,
     }
@@ -181,7 +218,7 @@ def write_toy_world(h5_dir: str, world: Optional[dict] = None, **kw) -> dict:
     os.makedirs(h5_dir, exist_ok=True)
     if world is None:
         world = generate_toy_world(**kw)
-    for name in ["raw", "seg", "mi", "vc", "sj", "sym", "asym"]:
+    for name in ["raw", "seg", "mi", "vc", "sj", "sym", "asym", "er", "golgi"]:
         save_to_h5py({name: world[name]}, os.path.join(h5_dir, f"{name}.h5"))
     save_svgraph(world["rag"], os.path.join(h5_dir, "neuron_rag.bz2"))
     return world
