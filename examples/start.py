@@ -36,6 +36,10 @@ def main():
                         help="train the dense models on the toy ground truth "
                              "before running inference (train->deploy loop)")
     parser.add_argument("--train_steps", type=int, default=800)
+    parser.add_argument("--use_views", action="store_true",
+                        help="use the multi-view (rendered 2D projections) "
+                             "models instead of point-cloud models for "
+                             "compartments/celltype/embeddings")
     parser.add_argument("--organelles", type=str, default="mi,vc",
                         help="comma-separated cell organelles to process "
                              "(subset of mi,vc,er,golgi; sj is always used "
@@ -53,7 +57,7 @@ def main():
         scale,
         key_value_pairs=[
             ("glia", {"prior_astrocyte_removal": args.prior_astrocyte_removal}),
-            ("use_point_models", True),
+            ("use_point_models", not args.use_views),
             ("syntype_avail", True),
             ("min_cc_size_ssv", 500),
             ("log_level", 20 if args.log_level == "INFO" else 10),

@@ -408,11 +408,15 @@ class SegmentationDataset(SegmentationBase):
 
     @property
     def rep_coords(self) -> np.ndarray:
-        return self.load_numpy_data("rep_coord")
+        d = self.load_numpy_data("rep_coord")
+        # empty datasets cache a flat (0,) array; keep the (N, 3) contract so
+        # downstream broadcasting against scale vectors works
+        return d.reshape(-1, 3) if d is not None else d
 
     @property
     def bounding_boxes(self) -> np.ndarray:
-        return self.load_numpy_data("bounding_box")
+        d = self.load_numpy_data("bounding_box")
+        return d.reshape(-1, 2, 3) if d is not None else d
 
     # --------------------------------------------------------- property cache
     def enable_property_cache(self, keys: Sequence[str]):

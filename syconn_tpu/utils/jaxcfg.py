@@ -47,7 +47,22 @@ def _enable_cache():
         os.environ.get("SYCONN_TPU_PLATFORM")
         or os.environ.get("JAX_PLATFORMS", "default")
     ).replace(",", "_")
-    cache_dir = os.path.join(cache_dir, platform)
+    # ... and by host-CPU fingerprint: CPU AOT entries written by a machine
+    # with different ISA features (sessions migrate across hosts) load with
+    # "machine feature not supported" warnings and risk SIGILL
+    try:
+        import hashlib
+
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    host = hashlib.sha1(line.encode()).hexdigest()[:8]
+                    break
+            else:
+                host = "nohost"
+    except OSError:
+        host = "nohost"
+    cache_dir = os.path.join(cache_dir, f"{platform}-{host}")
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
