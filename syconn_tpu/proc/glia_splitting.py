@@ -55,6 +55,13 @@ def run_glia_splitting() -> Dict[str, int]:
     log.info(
         "glia splitting: %d neuron SVs, %d astrocyte SVs", len(neuron_nodes), len(glia_nodes)
     )
+    if len(neuron_nodes) == 0 and len(glia_nodes) > 0:
+        log.warning(
+            "glia splitting removed EVERY supervoxel (%d glia, 0 neurons) — "
+            "the glia model at %s is likely untrained or glia_thresh=%.3f is "
+            "too low; the connectome will be empty",
+            len(glia_nodes), cfg.mpath_glia_pts, thresh,
+        )
     return {"n_neuron_sv": len(neuron_nodes), "n_glia_sv": len(glia_nodes)}
 
 
