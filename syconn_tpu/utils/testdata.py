@@ -66,11 +66,18 @@ def generate_toy_world(
     seg = np.zeros(shape, np.uint64)
     sv2cell = {}
     next_sv = 1
+    # group voxel coords by cell with one stable argsort (8 full-volume
+    # argwhere scans dominate at large shapes)
+    flat = cells.ravel()
+    order = np.argsort(flat, kind="stable")
+    counts = np.bincount(flat.astype(np.int64), minlength=n_seeds + 1)
+    starts = np.cumsum(np.concatenate([[0], counts[:-1]]))
+    strides = np.array([shape[1] * shape[2], shape[2], 1], np.int64)
     for c in range(1, n_seeds + 1):
-        mask = cells == c
-        if not mask.any():
+        if counts[c] == 0:
             continue
-        coords = np.argwhere(mask)
+        lin = order[starts[c] : starts[c] + counts[c]]
+        coords = np.stack([lin // strides[0], (lin // strides[1]) % shape[1], lin % shape[2]], axis=1)
         k = min(svs_per_cell, max(1, len(coords) // 5000))
         centers = coords[rng.choice(len(coords), size=k, replace=False)]
         cf = coords.astype(np.float32)
@@ -142,20 +149,27 @@ def generate_toy_world(
     # er: tubular reticulum — short random walks from each cell seed,
     # dilated to ~2-voxel tubes, clipped to the cell
     er_mask = np.zeros(shape, bool)
+    n_steps = max(120, int(np.prod(shape) ** (1 / 3)) * 4)
+    sx, sy, sz = shape
     for c in range(1, n_seeds + 1):
         p = seeds[c - 1].astype(np.int64)
-        if cells[tuple(np.clip(p, 0, np.array(shape) - 1))] != c:
+        px, py, pz = (int(np.clip(p[d], 1, shape[d] - 2)) for d in range(3))
+        if cells[px, py, pz] != c:
             cc = np.argwhere(cells == c)
             if not len(cc):
                 continue
-            p = cc[rng.integers(len(cc))]
-        for _ in range(max(120, int(np.prod(shape) ** (1 / 3)) * 4)):
-            step = rng.integers(-1, 2, 3)
-            step[2] = rng.integers(-1, 2) if rng.random() < 0.4 else 0
-            q = np.clip(p + step, 1, np.array(shape) - 2)
-            if cells[tuple(q)] == c:
-                p = q
-            er_mask[tuple(p)] = True
+            px, py, pz = (int(v) for v in cc[rng.integers(len(cc))])
+        # pre-draw all steps; walk with scalar ints (np per-step ops dominate
+        # generation time at large shapes otherwise)
+        steps = rng.integers(-1, 2, (n_steps, 3))
+        steps[rng.random(n_steps) >= 0.4, 2] = 0
+        for dx, dy, dz in steps.tolist():
+            qx = min(max(px + dx, 1), sx - 2)
+            qy = min(max(py + dy, 1), sy - 2)
+            qz = min(max(pz + dz, 1), sz - 2)
+            if cells[qx, qy, qz] == c:
+                px, py, pz = qx, qy, qz
+            er_mask[px, py, pz] = True
     er_mask = ndimage.binary_dilation(er_mask, iterations=1) & (cells > 0)
 
     # golgi: stacks of flat discs (cisternae) inside cells
