@@ -64,3 +64,41 @@ def test_start_py_end_to_end(tmp_path):
         assert len(sd_syn.ids) >= 1
     finally:
         global_params.wd = prev
+
+
+@pytest.mark.slow
+def test_start_py_views_and_all_organelles(tmp_path):
+    """Second pipeline variant: view-based inference (--use_views), all four
+    organelles, astrocyte removal — exercises the code paths the default
+    run skips."""
+    wd = str(tmp_path / "views_wd")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SYCONN_TPU_PLATFORM"] = "cpu"
+    env.pop("syconn_wd", None)
+    res = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "examples", "start.py"),
+            "--working_dir", wd,
+            "--shape", "96", "96", "48",
+            "--n_cells", "3",
+            "--overwrite",
+            "--use_views",
+            "--organelles", "mi,vc,er,golgi",
+            "--prior_astrocyte_removal",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        env=env,
+        cwd=repo,
+    )
+    assert res.returncode == 0, f"stdout:\n{res.stdout[-3000:]}\nstderr:\n{res.stderr[-5000:]}"
+    assert os.path.isfile(os.path.join(wd, "connectivity_matrix", "conn_mat.csv"))
+    # er/golgi datasets materialized
+    for co in ("er", "golgi"):
+        assert os.path.isdir(os.path.join(wd, f"{co}s_0")) or any(
+            d.startswith(co) for d in os.listdir(wd)
+        ), co
