@@ -25,7 +25,6 @@ native kernels (cross-validated in tests).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ pipeline-friendly trunks are designed anyway.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
