@@ -98,10 +98,16 @@ def extract_contact_sites(
     def _detect_host(seg):
         if seg.max() < 2**32:
             return detect_cs(seg.astype(np.uint32), stencil=stencil)
-        from ..ops.contacts import detect_cs_64bit
-
-        partners = detect_cs_64bit(seg, stencil=stencil)
-        return (partners[..., 0] << np.uint64(32)) | partners[..., 1]
+        # Contact-site IDs are packed partner pairs (lo << 32 | hi) — the
+        # same inherent 32-bit-per-partner limit as the reference's codec
+        # (syconn/extraction/cs_extraction_steps.py). Packing larger IDs
+        # would silently corrupt every downstream cs_pair_unpack, so fail
+        # loudly instead.
+        raise ValueError(
+            f"supervoxel IDs up to {int(seg.max())} exceed the 32-bit "
+            "packed contact-site codec (lo << 32 | hi); relabel the "
+            "segmentation to IDs < 2**32 before contact extraction"
+        )
 
     def _post(cix, cs_seg):
         """Host post-processing after contact detection (threads)."""

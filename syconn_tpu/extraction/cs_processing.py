@@ -39,6 +39,7 @@ __all__ = [
     "classify_synssv_objects",
     "create_syn_rfc",
     "synssv_o_features",
+    "synssv_o_featurenames",
     "collect_properties_from_ssv_partners",
     "export_matrix",
 ]
@@ -316,10 +317,52 @@ def combine_and_split_cs(n_workers=None, n_folders_fs: int = 100) -> Dict:
 
 
 # ----------------------------------------------------------- object mapping
-def map_objects_from_synssv_partners(n_workers: Optional[int] = None) -> None:
-    """Count mi/vc objects of the two partner cells near each synapse
-    (vertex-distance criterion; reference: :811). Stores ``n_mi_objs_*``,
-    ``n_vc_objs_*`` style attributes used as RFC features."""
+def _map_objects_to_single_synssv(
+    syn_tree: "spatial.cKDTree",
+    seg_objs: List,
+    max_vert_dist_nm: float,
+    sample_fact: int = 2,
+) -> Tuple[int, float, float]:
+    """Reference `_map_objects_from_synssv` (cs_processing_steps.py:1014):
+    for each candidate organelle, the fraction of its (subsampled) mesh
+    vertices within ``max_vert_dist_nm`` of the synapse voxels estimates the
+    number of close-by object voxels (frac * size). Returns
+    (n_objects_with_close_surface, est_close_voxels, min_dist_nm)."""
+    min_dist = 1e12
+    n_obj_vxs = []
+    for obj in seg_objs:
+        mesh = obj.mesh
+        verts = (
+            np.asarray(mesh[1], np.float64).reshape(-1, 3)[::sample_fact]
+            if mesh is not None and len(mesh[1])
+            else np.asarray(obj.voxel_list[::sample_fact], np.float64) * obj.scaling[None]
+        )
+        if len(verts) == 0:
+            n_obj_vxs.append(0.0)
+            continue
+        ds, _ = syn_tree.query(verts, distance_upper_bound=max_vert_dist_nm)
+        close_frac = float(np.sum(np.isfinite(ds))) / len(verts)
+        d_min = float(np.min(ds))
+        if np.isfinite(d_min) and d_min < min_dist:
+            min_dist = d_min
+        n_obj_vxs.append(close_frac * float(obj.size))
+    arr = np.asarray(n_obj_vxs)
+    return int(np.sum(arr > 0)), float(arr.sum()), float(min_dist)
+
+
+def map_objects_from_synssv_partners(
+    n_workers: Optional[int] = None, sample_fact: int = 2
+) -> None:
+    """Map each partner cell's mi/vc organelles to its synapses
+    (reference: cs_processing_steps.py:811/:893).
+
+    Candidates are restricted to the organelles *mapped to the partner cell*
+    (SSV attr ``mi``/``vc`` written by ``apply_mapping_decisions``),
+    prefiltered by rep-coord distance (``max_rep_coord_dist_nm``); the count
+    criterion is the per-organelle vertex distance ``max_vert_dist_nm[co]``
+    against the synapse voxels. Stores per-partner attrs
+    ``n_{co}_objs_{i}``, ``n_{co}_vxs_{i}``, ``min_dst_{co}_nm_{i}`` (i =
+    partner slot in ``neuron_partners``) plus per-slot numpy caches."""
     cfg = global_params.config
     wd = cfg.working_dir
     sd_syn = SegmentationDataset("syn_ssv", working_dir=wd)
@@ -329,60 +372,151 @@ def map_objects_from_synssv_partners(n_workers: Optional[int] = None) -> None:
     scale = np.array(cfg["scaling"], np.float64)
     organelles = [co for co in ("mi", "vc") if co in cfg["process_cell_organelles"]]
 
+    syn_ids = sd_syn.ids
+    partners = sd_syn.load_numpy_data("neuron_partners")
+    n = len(syn_ids)
+    out = {
+        co: dict(
+            n_objs=np.zeros((n, 2), np.int64),
+            n_vxs=np.zeros((n, 2), np.float64),
+            min_dst=np.full((n, 2), 1e12, np.float64),
+        )
+        for co in organelles
+    }
+    if n == 0 or partners is None:
+        for co in organelles:
+            for j in range(2):
+                sd_syn.save_numpy_data(f"n_{co}_objs_{j}", out[co]["n_objs"][:, j])
+                sd_syn.save_numpy_data(f"n_{co}_vxs_{j}", out[co]["n_vxs"][:, j])
+                sd_syn.save_numpy_data(f"min_dst_{co}_nm_{j}", out[co]["min_dst"][:, j])
+        return
+    syn_reps = np.asarray(sd_syn.rep_coords, np.float64) * scale[None]
+
     obj_data = {}
     for co in organelles:
         sd_co = SegmentationDataset(co, working_dir=wd)
-        obj_data[co] = (
-            sd_co.ids,
-            np.asarray(sd_co.rep_coords, np.float64) * scale[None],
-            dict(zip(sd_co.ids.tolist(), sd_co.sizes.tolist())),
+        obj_data[co] = sd_co
+
+    def work_cell(ssv_id):
+        """Process all synapses of one cell against that cell's organelles."""
+        ssv_id = int(ssv_id)
+        ssv = ssd.get_super_segmentation_object(ssv_id)
+        ssv.load_attr_dict()
+        rows = np.flatnonzero(
+            (partners[:, 0] == ssv_id) | (partners[:, 1] == ssv_id)
         )
+        res = []
+        if len(rows) == 0:
+            return res
+        trees = {}
+        for co in organelles:
+            mapped = np.atleast_1d(
+                np.asarray(ssv.attr_dict.get(co, []), np.uint64)
+            )
+            sd_co = obj_data[co]
+            if len(mapped) == 0 or len(sd_co.ids) == 0:
+                trees[co] = None
+                continue
+            sel = np.in1d(sd_co.ids, mapped)
+            ids_m = sd_co.ids[sel]
+            reps_m = np.asarray(sd_co.rep_coords, np.float64)[sel] * scale[None]
+            trees[co] = (ids_m, spatial.cKDTree(reps_m))
+        for i in rows:
+            j = 0 if int(partners[i, 0]) == ssv_id else 1
+            vox = _load_syn_voxels(sd_syn, int(syn_ids[i]))
+            syn_pts = (
+                np.asarray(vox[::sample_fact], np.float64) * scale[None]
+                if len(vox)
+                else syn_reps[i][None]
+            )
+            syn_tree = spatial.cKDTree(syn_pts)
+            vals = {}
+            for co in organelles:
+                if trees[co] is None:
+                    vals[co] = (0, 0.0, 1e12)
+                    continue
+                ids_m, tree = trees[co]
+                cand_ix = tree.query_ball_point(syn_reps[i], max_rep_dist)
+                cand = [
+                    obj_data[co].get_segmentation_object(int(ids_m[k]))
+                    for k in cand_ix
+                ]
+                vals[co] = _map_objects_to_single_synssv(
+                    syn_tree, cand, float(max_dists.get(co, 1000)), sample_fact
+                )
+            res.append((int(i), j, vals))
+        return res
 
-    syn_ids = sd_syn.ids
-    syn_reps = np.asarray(sd_syn.rep_coords, np.float64) * scale[None]
-    results = {co: np.zeros(len(syn_ids), np.int64) for co in organelles}
-    for co in organelles:
-        ids, reps_nm, _ = obj_data[co]
-        if len(ids) == 0:
-            continue
-        tree = spatial.cKDTree(reps_nm)
-        hits = tree.query_ball_point(syn_reps, max(float(max_dists.get(co, 1000)), max_rep_dist))
-        for i, h in enumerate(hits):
-            results[co][i] = len(h)
+    for cell_res in map_parallel(
+        work_cell, sorted(int(s) for s in ssd.ssv_ids), n_workers=n_workers,
+        desc="map_objects_synssv",
+    ):
+        for i, j, vals in cell_res:
+            for co in organelles:
+                out[co]["n_objs"][i, j] = vals[co][0]
+                out[co]["n_vxs"][i, j] = vals[co][1]
+                out[co]["min_dst"][i, j] = vals[co][2]
 
-    # write back
-    def update(item):
-        syn_id, vals = item
-        so = sd_syn.get_segmentation_object(int(syn_id))
+    # write back per-partner attrs + numpy caches
+    def update(i):
+        so = sd_syn.get_segmentation_object(int(syn_ids[i]))
         so.load_attr_dict()
         for co in organelles:
-            so.attr_dict[f"n_{co}_objs"] = int(vals[co])
+            for j in range(2):
+                so.attr_dict[f"n_{co}_objs_{j}"] = int(out[co]["n_objs"][i, j])
+                so.attr_dict[f"n_{co}_vxs_{j}"] = float(out[co]["n_vxs"][i, j])
+                so.attr_dict[f"min_dst_{co}_nm_{j}"] = float(out[co]["min_dst"][i, j])
         so.save_attr_dict()
 
-    items = [
-        (syn_id, {co: results[co][i] for co in organelles})
-        for i, syn_id in enumerate(syn_ids)
-    ]
-    map_parallel(update, items, n_workers=n_workers, desc="map_objects_synssv")
+    map_parallel(update, list(range(n)), n_workers=n_workers, desc="map_objects_synssv_write")
     for co in organelles:
-        sd_syn.save_numpy_data(f"n_{co}_objs", results[co])
+        for j in range(2):
+            sd_syn.save_numpy_data(f"n_{co}_objs_{j}", out[co]["n_objs"][:, j])
+            sd_syn.save_numpy_data(f"n_{co}_vxs_{j}", out[co]["n_vxs"][:, j])
+            sd_syn.save_numpy_data(f"min_dst_{co}_nm_{j}", out[co]["min_dst"][:, j])
 
 
 # ------------------------------------------------------------ classification
+def synssv_o_featurenames() -> List[str]:
+    """Reference parity: cs_processing_steps.py:1428."""
+    names = ["size_vx", "mesh_area_um2"]
+    for j in (1, 2):
+        for co in ("mi", "vc"):
+            names += [
+                f"n_{co}_objs_neuron{j}",
+                f"n_{co}_vxs_neuron{j}",
+                f"min_dst_{co}_nm_neuron{j}",
+            ]
+    return names
+
+
 def synssv_o_features(sd_syn: SegmentationDataset) -> np.ndarray:
     """Feature matrix for synapse classification (reference: :1404):
-    size, asym/sym proportions, partner-organelle counts, bb extent."""
+    size, mesh area, and per-partner organelle mapping features
+    (n_objs/n_vxs/min_dst for mi and vc, both partner slots)."""
     n = len(sd_syn.ids)
     sizes = np.asarray(sd_syn.sizes, np.float64)
-    asym = np.asarray(sd_syn.load_numpy_data("asym_prop"), np.float64)
-    sym = np.asarray(sd_syn.load_numpy_data("sym_prop"), np.float64)
-    bbs = np.asarray(sd_syn.bounding_boxes, np.float64)
-    ext = (bbs[:, 1] - bbs[:, 0]).max(axis=1) if n else np.zeros(0)
-    n_mi = sd_syn.load_numpy_data("n_mi_objs")
-    n_vc = sd_syn.load_numpy_data("n_vc_objs")
-    n_mi = np.zeros(n) if n_mi is None else np.asarray(n_mi, np.float64)
-    n_vc = np.zeros(n) if n_vc is None else np.asarray(n_vc, np.float64)
-    return np.stack([np.log1p(sizes), asym, sym, np.log1p(ext), n_mi, n_vc], axis=1)
+    area = sd_syn.load_numpy_data("mesh_area")
+    if area is None:
+        # compute lazily once; cheap for the typical syn_ssv counts
+        area = np.array(
+            [sd_syn.get_segmentation_object(int(i)).mesh_area for i in sd_syn.ids],
+            np.float64,
+        )
+        sd_syn.save_numpy_data("mesh_area", area)
+    cols = [sizes, np.asarray(area, np.float64)]
+    for j in range(2):
+        for co in ("mi", "vc"):
+            for key, default in (
+                (f"n_{co}_objs_{j}", 0.0),
+                (f"n_{co}_vxs_{j}", 0.0),
+                (f"min_dst_{co}_nm_{j}", 1e12),
+            ):
+                v = sd_syn.load_numpy_data(key)
+                cols.append(
+                    np.full(n, default) if v is None else np.asarray(v, np.float64)
+                )
+    return np.stack(cols, axis=1) if n else np.zeros((0, 14))
 
 
 def create_syn_rfc(features: np.ndarray, labels: np.ndarray, save_path: Optional[str] = None):
@@ -415,8 +549,13 @@ def classify_synssv_objects(n_workers: Optional[int] = None) -> None:
         probs = rfc.predict_proba(feats)[:, 1]
     else:
         # heuristic: larger synapses with clear type evidence score higher
-        size_term = 1.0 - np.exp(-np.expm1(feats[:, 0]) / 100.0)
-        type_term = np.clip(feats[:, 1] + feats[:, 2], 0, 1)
+        size_term = 1.0 - np.exp(-feats[:, 0] / 100.0)
+        asym = sd_syn.load_numpy_data("asym_prop")
+        sym = sd_syn.load_numpy_data("sym_prop")
+        if asym is not None and sym is not None:
+            type_term = np.clip(np.asarray(asym) + np.asarray(sym), 0, 1)
+        else:
+            type_term = np.zeros(len(feats))
         probs = np.clip(0.25 + 0.5 * size_term + 0.25 * type_term, 0, 1)
     sd_syn.save_numpy_data("syn_prob", probs.astype(np.float64))
 

@@ -316,6 +316,15 @@ class ChunkedVolume:
             if mag < data_mag:
                 raise ValueError(f"Cannot upsample from mag {data_mag} to {mag}.")
             f = mag // data_mag
+            if f > 1 and np.any(offset % f):
+                # a floored offset//f would shift the mag pyramid by up to
+                # f-1 voxels and de-phase the stride downsampling between
+                # writes at different residues — corrupting seams silently
+                raise ValueError(
+                    f"offset {tuple(offset)} not aligned to downsample factor "
+                    f"{f} (mag {mag} from data_mag {data_mag}); write mag-"
+                    "aligned blocks or restrict mags to the aligned subset"
+                )
             if f == 1:
                 d = data
             elif downsample == "stride":

@@ -110,9 +110,16 @@ def decompress(data: bytes) -> bytes:
         if offset == 0 or offset > len(out):
             raise ValueError("invalid snappy copy offset")
         start = len(out) - offset
-        # copies may overlap their own output (run-length style)
-        for i in range(length):
-            out.append(out[start + i])
+        if offset >= length:
+            # non-overlapping: one slice copy
+            out += out[start : start + length]
+        else:
+            # overlapping (run-length style): double the run O(log length)
+            # times, then trim — keeps per-element Python work logarithmic
+            run = bytes(out[start:])
+            while len(run) < length:
+                run = run + run
+            out += run[:length]
     if len(out) != expected:
         raise ValueError(
             f"snappy length mismatch: header {expected}, decoded {len(out)}"

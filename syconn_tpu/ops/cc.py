@@ -20,6 +20,7 @@ from scipy import ndimage
 __all__ = [
     "connected_components",
     "watershed_from_seeds",
+    "watershed_distance",
     "encode_chunk_labels",
     "face_merge_pairs",
     "UnionFind",
@@ -43,16 +44,75 @@ def watershed_from_seeds(mask: np.ndarray, seeds: np.ndarray) -> np.ndarray:
     watershed on the pre-erosion mask with seeds from the eroded mask's
     components (object_extraction_steps.py:204-260, config
     ``extract_morph_op`` trailing erosions).
+
+    Frontier-based multi-source BFS: each sweep only touches the current
+    frontier's neighbors (O(N) total work) instead of the former full-volume
+    grey-dilation fixpoint (O(N * diameter)). Equal-distance ties go to the
+    smallest seed label (deterministic).
     """
     mask = np.asarray(mask).astype(bool)
     out = np.where(mask, seeds, 0).astype(np.uint32)
-    while True:
-        grown = ndimage.grey_dilation(out, footprint=ndimage.generate_binary_structure(3, 1))
-        newly = (out == 0) & mask & (grown > 0)
-        if not newly.any():
+    flat_out = out.reshape(-1)
+    flat_mask = mask.reshape(-1)
+    sx, sy, sz = mask.shape
+    frontier = np.flatnonzero(flat_out)
+    syz = sy * sz
+    while frontier.size:
+        labels = flat_out[frontier]
+        cx = frontier // syz
+        rem = frontier - cx * syz
+        cy = rem // sz
+        cz = rem - cy * sz
+        nxt_ix = []
+        nxt_lb = []
+        for coord, size, stride in ((cx, sx, syz), (cy, sy, sz), (cz, sz, 1)):
+            for sgn in (1, -1):
+                ok = (coord + sgn < size) if sgn > 0 else (coord > 0)
+                ni = frontier[ok] + sgn * stride
+                sel = flat_mask[ni] & (flat_out[ni] == 0)
+                nxt_ix.append(ni[sel])
+                nxt_lb.append(labels[ok][sel])
+        ni = np.concatenate(nxt_ix)
+        if ni.size == 0:
             break
-        out[newly] = grown[newly]
+        nl = np.concatenate(nxt_lb)
+        # a voxel reached from several seeds this sweep: smallest label wins
+        order = np.lexsort((nl, ni))
+        ni, nl = ni[order], nl[order]
+        first = np.ones(len(ni), bool)
+        first[1:] = ni[1:] != ni[:-1]
+        ni, nl = ni[first], nl[first]
+        flat_out[ni] = nl
+        frontier = ni
     return out
+
+
+def watershed_distance(
+    mask: np.ndarray, markers: np.ndarray, sampling: Optional[Sequence[float]] = None
+) -> np.ndarray:
+    """Distance-transform watershed of a binary mask with labeled markers
+    (the reference's ``skimage.segmentation.watershed(-distance, markers,
+    mask=mask)`` pattern, super_segmentation_helper.py:2171).
+
+    The Euclidean distance transform (optionally anisotropic via
+    ``sampling``) is inverted and quantized to uint16 cost; one
+    `watershed_ift` pass assigns each mask voxel to a marker basin.
+    """
+    mask = np.asarray(mask).astype(bool)
+    markers = np.asarray(markers)
+    if not (markers[mask] > 0).any():
+        return np.zeros(mask.shape, np.uint32)
+    dist = ndimage.distance_transform_edt(mask, sampling=sampling)
+    dmax = float(dist.max())
+    cost = np.zeros(mask.shape, np.uint16)
+    if dmax > 0:
+        cost[mask] = np.round((dmax - dist[mask]) / dmax * 65000.0).astype(np.uint16)
+    m = np.where(mask, markers, 0).astype(np.int32)
+    m[~mask] = np.int32(-1)
+    struct = ndimage.generate_binary_structure(3, 1)
+    out = ndimage.watershed_ift(cost, m, structure=struct)
+    out[out < 0] = 0
+    return out.astype(np.uint32)
 
 
 def encode_chunk_labels(local_labels: np.ndarray, chunk_index: int) -> np.ndarray:

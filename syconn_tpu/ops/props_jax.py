@@ -24,7 +24,12 @@ from ..utils.jaxcfg import setup_jax
 
 setup_jax()
 
-__all__ = ["object_properties_device", "object_properties_tpu", "pair_counts_device"]
+__all__ = [
+    "object_properties_device",
+    "object_properties_tpu",
+    "pair_counts_device",
+    "pair_counts_tpu",
+]
 
 
 @partial(jax.jit, static_argnames=("max_ids",))
@@ -123,6 +128,7 @@ def pair_counts_device(a: jnp.ndarray, b: jnp.ndarray, max_pairs: int):
         [jnp.ones(1, bool), (a2[1:] != a2[:-1]) | (b2[1:] != b2[:-1])]
     ) & v2
     seg = jnp.cumsum(new) - 1
+    n_pairs = jnp.sum(new)  # total unique pairs, for host overflow detection
     seg = jnp.where(v2, jnp.minimum(seg, max_pairs - 1), max_pairs - 1)
     a_out = jnp.zeros(max_pairs, jnp.int32).at[seg].max(jnp.where(v2, a2, 0), mode="drop")
     b_out = jnp.zeros(max_pairs, jnp.int32).at[seg].max(jnp.where(v2, b2, 0), mode="drop")
@@ -132,4 +138,30 @@ def pair_counts_device(a: jnp.ndarray, b: jnp.ndarray, max_pairs: int):
         jnp.where(ok, a_out, 0),
         jnp.where(ok, b_out, 0),
         jnp.where(ok, cnt, 0),
+        n_pairs,
     )
+
+
+def pair_counts_tpu(
+    a: np.ndarray, b: np.ndarray, max_pairs: int = 4096
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host wrapper with overflow detection (same contract as
+    :func:`syconn_tpu.ops.props.pair_counts`: compact arrays of nonzero
+    (a, b) pairs + counts). Raises when the chunk holds more unique pairs
+    than ``max_pairs`` — the padded device tables would otherwise silently
+    merge the overflow into the last slot."""
+    a = np.ascontiguousarray(a)
+    b = np.ascontiguousarray(b)
+    assert max(a.max(initial=0), b.max(initial=0)) < 2**31, "int32 label space"
+    a_out, b_out, cnt, n_pairs = jax.device_get(
+        pair_counts_device(
+            jnp.asarray(a.astype(np.int32)), jnp.asarray(b.astype(np.int32)), max_pairs
+        )
+    )
+    if int(n_pairs) > max_pairs:
+        raise ValueError(
+            f"chunk has {int(n_pairs)} unique (a, b) pairs > max_pairs="
+            f"{max_pairs}; raise max_pairs (one recompile per size)"
+        )
+    ok = (a_out != 0) & (b_out != 0)
+    return a_out[ok], b_out[ok], cnt[ok].astype(np.int64)

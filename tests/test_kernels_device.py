@@ -31,18 +31,25 @@ def test_pair_counts_device_matches_host(rng):
     import jax.numpy as jnp
 
     from syconn_tpu.ops.props import pair_counts
-    from syconn_tpu.ops.props_jax import pair_counts_device
+    from syconn_tpu.ops.props_jax import pair_counts_tpu
 
     a = rng.integers(0, 6, size=(16, 16, 8)).astype(np.uint32)
     b = rng.integers(0, 6, size=(16, 16, 8)).astype(np.uint32)
     ah, bh, ch = pair_counts(a, b)
-    ad, bd, cd = jax.device_get(
-        pair_counts_device(jnp.asarray(a.astype(np.int32)), jnp.asarray(b.astype(np.int32)), 128)
-    )
-    valid = cd > 0
-    got = sorted(zip(ad[valid].tolist(), bd[valid].tolist(), cd[valid].tolist()))
+    ad, bd, cd = pair_counts_tpu(a, b, max_pairs=128)
+    got = sorted(zip(ad.tolist(), bd.tolist(), cd.tolist()))
     expect = sorted(zip(ah.tolist(), bh.tolist(), ch.tolist()))
     assert got == expect
+
+
+def test_pair_counts_tpu_overflow_raises(rng):
+    from syconn_tpu.ops.props_jax import pair_counts_tpu
+
+    # 16 unique (a, b) combinations > max_pairs=8 must raise, not merge
+    a = rng.integers(1, 5, size=(8, 8, 8)).astype(np.uint32)
+    b = rng.integers(1, 5, size=(8, 8, 8)).astype(np.uint32)
+    with pytest.raises(ValueError):
+        pair_counts_tpu(a, b, max_pairs=8)
 
 
 @pytest.mark.parametrize("seed", [0, 1])
