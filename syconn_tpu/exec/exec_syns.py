@@ -65,30 +65,50 @@ def run_cs_ssv_generation(n_folders_fs: int = 100, overwrite: bool = False):
 
 def run_spinehead_volume_calc(n_workers: Optional[int] = None):
     """Spine-head volume per synapse (reference: exec_syns.py:177 ->
-    super_segmentation_helper.py:2068). Requires spiness-annotated skeletons;
-    synapses whose partner location is a spine head get the local volume of
-    the spine-head component attached as ``spinehead_vol``."""
+    super_segmentation_helper.py:2068 ``extract_spinehead_volume_mesh``):
+    per cell, propagate the spiness vertex prediction into the segmentation
+    via a distance-transform watershed and measure the head component at
+    each spine-head synapse."""
     lg = initialize_logging("exec_syns")
     import numpy as np
 
+    from ..parallel.executor import map_parallel
     from ..reps.segmentation import SegmentationDataset
+    from ..reps.super_segmentation import SuperSegmentationDataset
+    from ..reps.super_segmentation_helper import extract_spinehead_volume
 
     cfg = global_params.config
     sd_syn = SegmentationDataset("syn_ssv", working_dir=cfg.working_dir)
-    spiness = sd_syn.load_numpy_data("partner_spiness")
-    sizes = np.asarray(sd_syn.sizes, np.float64)
-    scale = np.array(cfg["scaling"], np.float64)
-    vx_vol_um3 = float(np.prod(scale)) / 1e9
-    if spiness is None:
-        vols = np.zeros(len(sd_syn.ids))
-    else:
-        # spine-head label == 1 in the spiness convention; approximate the
-        # head volume from the synapse's own voxel count when on a head
-        on_head = (np.asarray(spiness) == 1).any(axis=1)
-        vols = np.where(on_head, sizes * vx_vol_um3 * 4.0, 0.0)
-    sd_syn.save_numpy_data("spinehead_vol", vols)
-    lg.info("spinehead volumes computed for %d synapses", len(vols))
-    return vols
+    ssd = SuperSegmentationDataset(working_dir=cfg.working_dir)
+
+    def work(ssv_id):
+        ssv = ssd.get_super_segmentation_object(int(ssv_id))
+        try:
+            vols = extract_spinehead_volume(ssv)
+        except ValueError:
+            # no spiness vertex labels for this cell (e.g. prediction
+            # skipped); nothing to measure
+            return {}
+        ssv.save_attr_dict()
+        return vols
+
+    per_syn: dict = {}
+    for vols in map_parallel(
+        work, sorted(int(s) for s in ssd.ssv_ids), n_workers=n_workers,
+        desc="spinehead_volume",
+    ):
+        # a synapse has one post-synaptic (spine) side; if both partner
+        # cells yield a head volume keep the larger measurement
+        for k, v in vols.items():
+            per_syn[k] = max(v, per_syn.get(k, 0.0))
+
+    out = np.array([per_syn.get(int(i), 0.0) for i in sd_syn.ids], np.float64)
+    sd_syn.save_numpy_data("spinehead_vol", out)
+    lg.info(
+        "spinehead volumes computed for %d/%d synapses",
+        int((out > 0).sum()), len(out),
+    )
+    return out
 
 
 def run_matrix_export():

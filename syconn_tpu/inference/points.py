@@ -348,6 +348,21 @@ def predict_compartments_ssd(
         sk[f"{skel_key}_avg10000"] = majorityvote_skeleton_property(sk, skel_key, window, scale)
         ssv.skeleton = sk
         ssv.save_skeleton()
+        # persist vertex-level labels on the full cell mesh (consumed by
+        # semseg_for_coords and spinehead volume extraction — the reference
+        # stores these in label_dict('vertex'), ssh.py:2097)
+        cell_sel = (types == 0) & labeled
+        if cell_sel.any():
+            mesh = ssv.load_mesh("sv")
+            verts_all = np.asarray(mesh[1], np.float64).reshape(-1, 3)
+            if len(verts_all):
+                vt = spatial.cKDTree(coords[cell_sel])
+                _, nn = vt.query(verts_all)
+                ssv.load_attr_dict()
+                ssv.attr_dict[f"{skel_key}_vertex_labels"] = (
+                    vert_labels[cell_sel][nn].astype(np.uint8)
+                )
+                ssv.save_attr_dict()
         return 1
 
     n = sum(map_parallel(work, list(ssv_ids), n_workers=4, desc="compartments_pts"))

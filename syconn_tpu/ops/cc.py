@@ -52,11 +52,24 @@ def watershed_from_seeds(mask: np.ndarray, seeds: np.ndarray) -> np.ndarray:
     """
     mask = np.asarray(mask).astype(bool)
     out = np.where(mask, seeds, 0).astype(np.uint32)
-    flat_out = out.reshape(-1)
-    flat_mask = mask.reshape(-1)
-    sx, sy, sz = mask.shape
-    frontier = np.flatnonzero(flat_out)
+    _bfs_flood(mask.reshape(-1), out.reshape(-1), mask.shape)
+    return out
+
+
+def _bfs_flood(
+    flat_mask: np.ndarray,
+    flat_out: np.ndarray,
+    shape,
+    frontier: Optional[np.ndarray] = None,
+) -> None:
+    """In place: expand the nonzero labels of ``flat_out`` into unlabeled
+    ``flat_mask`` voxels by 6-connected multi-source BFS (frontier sweeps;
+    smallest label wins equal-distance ties). ``frontier`` optionally
+    restricts the initial sources (must be labeled voxel indices)."""
+    sx, sy, sz = shape
     syz = sy * sz
+    if frontier is None:
+        frontier = np.flatnonzero(flat_out)
     while frontier.size:
         labels = flat_out[frontier]
         cx = frontier // syz
@@ -84,35 +97,80 @@ def watershed_from_seeds(mask: np.ndarray, seeds: np.ndarray) -> np.ndarray:
         ni, nl = ni[first], nl[first]
         flat_out[ni] = nl
         frontier = ni
-    return out
 
 
 def watershed_distance(
-    mask: np.ndarray, markers: np.ndarray, sampling: Optional[Sequence[float]] = None
+    mask: np.ndarray,
+    markers: np.ndarray,
+    sampling: Optional[Sequence[float]] = None,
+    levels: int = 64,
 ) -> np.ndarray:
     """Distance-transform watershed of a binary mask with labeled markers
     (the reference's ``skimage.segmentation.watershed(-distance, markers,
     mask=mask)`` pattern, super_segmentation_helper.py:2171).
 
-    The Euclidean distance transform (optionally anisotropic via
-    ``sampling``) is inverted and quantized to uint16 cost; one
-    `watershed_ift` pass assigns each mask voxel to a marker basin.
+    Meyer-style flooding discretized to ``levels`` buckets: the inverted
+    Euclidean distance transform (optionally anisotropic via ``sampling``)
+    is quantized, and basins grow level by level — at each level the
+    current labels BFS-flood into newly *active* voxels (cost <= level), so
+    plateaus are split by geodesic proximity rather than the arbitrary
+    tie-breaking of a max-arc IFT.
     """
     mask = np.asarray(mask).astype(bool)
     markers = np.asarray(markers)
-    if not (markers[mask] > 0).any():
-        return np.zeros(mask.shape, np.uint32)
+    out = np.where(mask, markers, 0).astype(np.uint32)
+    if not out.any():
+        return out
     dist = ndimage.distance_transform_edt(mask, sampling=sampling)
     dmax = float(dist.max())
-    cost = np.zeros(mask.shape, np.uint16)
-    if dmax > 0:
-        cost[mask] = np.round((dmax - dist[mask]) / dmax * 65000.0).astype(np.uint16)
-    m = np.where(mask, markers, 0).astype(np.int32)
-    m[~mask] = np.int32(-1)
-    struct = ndimage.generate_binary_structure(3, 1)
-    out = ndimage.watershed_ift(cost, m, structure=struct)
-    out[out < 0] = 0
-    return out.astype(np.uint32)
+    if dmax <= 0:
+        return out
+    # cost level 0 = deepest basin interior (largest distance)
+    q = np.zeros(mask.shape, np.int32)
+    q[mask] = np.ceil((dmax - dist[mask]) / dmax * levels).astype(np.int32)
+    shape = mask.shape
+    sx, sy, sz = shape
+    syz = sy * sz
+    flat_out = out.reshape(-1)
+    flat_q = q.reshape(-1)
+    flat_mask = mask.reshape(-1)
+    # bucket mask voxels by level once
+    mask_ix = np.flatnonzero(flat_mask)
+    order = np.argsort(flat_q[mask_ix], kind="stable")
+    sorted_ix = mask_ix[order]
+    bounds = np.searchsorted(flat_q[sorted_ix], np.arange(levels + 2))
+    active = np.zeros(flat_mask.shape, bool)
+
+    def _labeled_neighbors(ixs: np.ndarray) -> np.ndarray:
+        """Labeled voxels 6-adjacent to ``ixs`` (BFS sources for a level)."""
+        cx = ixs // syz
+        rem = ixs - cx * syz
+        cy = rem // sz
+        cz = rem - cy * sz
+        srcs = []
+        for coord, size, stride in ((cx, sx, syz), (cy, sy, sz), (cz, sz, 1)):
+            for sgn in (1, -1):
+                ok = (coord + sgn < size) if sgn > 0 else (coord > 0)
+                ni = ixs[ok] + sgn * stride
+                srcs.append(ni[flat_out[ni] != 0])
+        return np.unique(np.concatenate(srcs)) if srcs else np.zeros(0, np.int64)
+
+    for lv in range(levels + 1):
+        newly = sorted_ix[bounds[lv] : bounds[lv + 1]]
+        if newly.size == 0:
+            continue
+        active[newly] = True
+        sources = _labeled_neighbors(newly)
+        # marker voxels activating at this level are sources themselves
+        marked = newly[flat_out[newly] != 0]
+        if marked.size:
+            sources = np.unique(np.concatenate([sources, marked]))
+        if sources.size:
+            _bfs_flood(active, flat_out, shape, frontier=sources)
+    # stragglers (active but never reached, e.g. around late markers)
+    if (flat_mask & (flat_out == 0)).any():
+        _bfs_flood(flat_mask, flat_out, shape)
+    return out
 
 
 def encode_chunk_labels(local_labels: np.ndarray, chunk_index: int) -> np.ndarray:

@@ -38,6 +38,7 @@ __all__ = [
     "map_myelin2coords",
     "semseg2mesh",
     "semseg_for_coords",
+    "extract_spinehead_volume",
     "syn_sign_ratio_celltype",
     "shortestpath2soma",
     "majority_vote_compartments",
@@ -168,6 +169,140 @@ def shortestpath2soma(ssv, coords_vx: np.ndarray, axoness_key: str = "axoness") 
     q = np.atleast_2d(np.asarray(coords_vx, np.float64)) * scale[None]
     d_n, ixs = tree.query(q)
     return np.array([d_n[i] + dists.get(int(ixs[i]), np.inf) for i in range(len(q))])
+
+
+def extract_spinehead_volume(
+    sso, ctx_vol: Sequence[int] = (200, 200, 100)
+) -> Dict[int, float]:
+    """Spine-head volumes per spine-head synapse via a watershed on the cell
+    segmentation (reference: super_segmentation_helper.py:2068
+    ``extract_spinehead_volume_mesh``).
+
+    For every synapse of the cell whose location is predicted spine head
+    (spiness == 1) on a dendrite (axoness == 0): load the segmentation cube
+    ``2*ctx_vol`` around the synapse, mask it to the cell's supervoxels,
+    downsample to isotropic z, fill holes, seed a distance-transform
+    watershed at the distance maxima (each seed labeled by its k nearest
+    spiness-labeled mesh vertices), keep the head basins (label 1), and
+    take the connected head component at the synapse. Volumes are stored in
+    ``sso.attr_dict['spinehead_vol']`` (µm³, keyed by syn_ssv ID) — call
+    ``sso.save_attr_dict()`` to persist.
+    """
+    from scipy import ndimage
+
+    from ..handler.basics import kd_factory
+    from ..ops.cc import watershed_distance
+    from ..ops.contacts import relabel_vol_nonexist2zero
+    from ..proc.image import in_bounding_box
+    from .rep_helper import colorcode_vertices
+
+    if len(sso.attr_dict) == 0:
+        sso.load_attr_dict()
+    sso.attr_dict["spinehead_vol"] = {}
+    ctx_vol = np.asarray(ctx_vol, np.int64)
+    scaling = np.asarray(sso.scaling, np.float64)
+    cfg_sp = sso.config["spines"]["semseg2coords_spines"]
+
+    labels = sso.lookup_in_attribute_dict("spiness_vertex_labels")
+    mesh = sso.load_mesh("sv")
+    verts_nm = np.asarray(mesh[1], np.float64).reshape(-1, 3)
+    if labels is None or len(verts_nm) == 0:
+        raise ValueError(f"'spiness' vertex labels not available for cell {sso.id}.")
+    sp_semseg = np.asarray(labels).reshape(-1)
+    verts = verts_nm / scaling[None]  # voxel coords
+    for l in cfg_sp.get("ignore_labels", []):
+        verts = verts[sp_semseg != l]
+        sp_semseg = sp_semseg[sp_semseg != l]
+
+    syns = sso.syn_ssv
+    if len(syns) == 0:
+        return {}
+    syn_coords = np.array([s.rep_coord for s in syns], np.int64)
+    syn_ids = np.array([s.id for s in syns], np.uint64)
+    # spine-head synapses on dendrites only
+    curr_sp = semseg_for_coords(
+        sso, syn_coords, "spiness", k=int(cfg_sp.get("k", 50)),
+        ignore_labels=cfg_sp.get("ignore_labels", []),
+    )
+    try:
+        curr_ax = semseg_for_coords(sso, syn_coords, "axoness")
+    except ValueError:
+        curr_ax = np.zeros(len(syn_coords), np.int64)
+    sel = (curr_sp == 1) & (curr_ax == 0)
+    syn_coords = syn_coords[sel]
+    syn_ids = syn_ids[sel]
+    if len(syn_coords) == 0:
+        return {}
+
+    # downsample factor to isotropic z voxels
+    ds = (scaling[2] // scaling).astype(np.int64)
+    assert np.all(ds > 0)
+    kd = kd_factory(sso.config.kd_seg_path)
+    sv_ids = sso.sv_ids
+    k_nn = int(cfg_sp.get("k", 50))
+    out: Dict[int, float] = {}
+    for c, syn_id in zip(syn_coords, syn_ids):
+        offset = np.maximum(c - ctx_vol, 0)
+        size = (2 * ctx_vol).astype(np.int64)
+        seg = kd.load_seg(offset=offset, size=size, mag=1)
+        seg = ndimage.zoom(seg, 1.0 / ds, order=0)
+        if len(sv_ids) > 1:
+            seg = relabel_vol_nonexist2zero(
+                seg.astype(np.uint64), {int(k): 1 for k in sv_ids}
+            )
+        else:
+            seg = (seg == sv_ids[0]).astype(np.int32)
+        mask = ndimage.binary_fill_holes(seg > 0)
+        if not mask.any():
+            continue
+        # labeled vertices inside the cube
+        vsel = in_bounding_box(verts, np.array([offset + size / 2, size]))
+        verts_bb = verts[vsel]
+        semseg_bb = sp_semseg[vsel].copy()
+        if len(semseg_bb) == 0:
+            # insufficient mesh context (tiny test cubes); skip like the
+            # reference does
+            continue
+        semseg_bb[semseg_bb == 0] = 9  # spine neck stays distinct from head
+        dist = ndimage.distance_transform_edt(mask)
+        # local maxima of the distance transform as watershed seeds
+        maxf = ndimage.maximum_filter(dist, size=3)
+        maxima = np.argwhere((dist >= maxf) & mask & (dist > 0))
+        if len(maxima) == 0:
+            continue
+        maxima_sp = colorcode_vertices(
+            maxima * ds[None], verts_bb - offset[None], semseg_bb,
+            k=min(k_nn, len(verts_bb)), return_color=False,
+        )
+        markers = np.zeros(mask.shape, np.int32)
+        markers[maxima[:, 0], maxima[:, 1], maxima[:, 2]] = maxima_sp
+        basins = watershed_distance(mask, markers)
+        head = basins == 1
+        lab, nb = ndimage.label(head)
+        if nb == 0:
+            continue
+        cl = (c - offset) // ds
+        max_id = 1
+        if nb > 1:
+            sl = tuple(
+                slice(max(int(cl[i]) - 10, 0), int(cl[i]) + 11) for i in range(3)
+            )
+            ids, cnts = np.unique(lab[sl], return_counts=True)
+            cnts = cnts[ids != 0]
+            ids = ids[ids != 0]
+            if len(ids) == 0:
+                # nearest head component to the synapse
+                coords_all = np.argwhere(lab > 0)
+                d = np.linalg.norm(
+                    (coords_all - cl[None]) * (scaling * ds)[None], axis=1
+                )
+                max_id = int(lab[tuple(coords_all[np.argmin(d)])])
+            else:
+                max_id = int(ids[np.argmax(cnts)])
+        n_vox = int(np.sum(lab == max_id))
+        out[int(syn_id)] = n_vox * float(np.prod(scaling * ds)) / 1e9  # µm³
+    sso.attr_dict["spinehead_vol"] = out
+    return out
 
 
 def syn_sign_ratio_celltype(ssv, weighted: bool = True) -> float:
