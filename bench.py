@@ -12,6 +12,11 @@ the 0.726 GVx example cube's myelin map at mag 4 (= 11.34 MVx at output
 resolution) in 62 s on 2x Quadro RTX 5000 => 0.183 Mvox/s effective
 (0.091 Mvox/s per GPU). vs_baseline = ours / 0.183.
 
+Reports (VERDICT r1 item 3): median-of-3 throughput with spread, model
+FLOPs/voxel (XLA cost analysis of the compiled forward), achieved TFLOP/s,
+MFU against the chip's peak bf16, and the upload/compute/readback split of
+one tile.
+
 Prints ONE JSON line.
 """
 
@@ -26,6 +31,63 @@ import time
 import numpy as np
 
 BASELINE_MVOX_S = 11.34e6 / 62.0 / 1e6  # reference dense-prediction step
+
+# peak dense bf16 TFLOP/s per chip (public figures)
+PEAK_BF16_TFLOPS = {
+    "v4": 275.0,
+    "v5e": 197.0,
+    "v5p": 459.0,
+    "v6e": 918.0,  # Trillium
+    "v6p": 918.0,
+}
+
+
+def _device_peak_tflops(dev) -> float | None:
+    kind = (getattr(dev, "device_kind", "") or "").lower().replace(" ", "")
+    for k, v in PEAK_BF16_TFLOPS.items():
+        if k in kind:
+            return v
+    # axon relay devices report e.g. 'TPU v5 lite'
+    if "v5lite" in kind or "v5l" in kind:
+        return PEAK_BF16_TFLOPS["v5e"]
+    return None
+
+
+def _tile_flops(pred, params, x) -> float | None:
+    """FLOPs of one compiled tile forward, from XLA's cost analysis."""
+    try:
+        import jax.numpy as jnp
+
+        lowered = pred._fwd.lower(params, jnp.asarray(x))
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        f = float(cost.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _split_timings(pred, x, reps: int = 5):
+    """Median upload / compute / readback seconds for one tile batch."""
+    import jax
+    import jax.numpy as jnp
+
+    ups, comps, reads = [], [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        xd = jax.device_put(jnp.asarray(x))
+        xd.block_until_ready()
+        t1 = time.perf_counter()
+        out = pred._fwd(pred._params, xd)
+        jax.block_until_ready(out)
+        t2 = time.perf_counter()
+        _ = np.asarray(out)
+        t3 = time.perf_counter()
+        ups.append(t1 - t0)
+        comps.append(t2 - t1)
+        reads.append(t3 - t2)
+    return float(np.median(ups)), float(np.median(comps)), float(np.median(reads))
 
 
 def main():
@@ -68,12 +130,15 @@ def main():
     warm = np.zeros((1,) + tuple(np.add(tile, np.multiply(2, halo))), np.uint8)
     pred.predict_tiles(warm)  # compile
 
+    flops_tile = _tile_flops(pred, pred._params, warm)
+    up_s, comp_s, read_s = _split_timings(pred, warm)
+
     # ---------------------------------------------------------------- run
     # mask mode: thresholding fused on device, 1 bit/voxel readback — the
-    # format the extraction stage consumes. Two passes, best taken: the
-    # tunneled TPU link's throughput fluctuates heavily between runs.
+    # format the extraction stage consumes. Three passes, median reported
+    # (the tunneled TPU link's throughput fluctuates run to run).
     runs = []
-    for r in range(2):
+    for r in range(3):
         stats = predict_dense_to_kd(
             os.path.join(tmp, "src"),
             target_paths={
@@ -94,17 +159,47 @@ def main():
             pipeline_depth=4,
         )
         runs.append(stats)
-    stats = max(runs, key=lambda s: s["mvox_per_s"])
-    mvox_s = stats["mvox_per_s"]
+    rates = sorted(s["mvox_per_s"] for s in runs)
+    mvox_s = float(np.median(rates))
+    spread = (rates[-1] - rates[0]) / 2.0
+    stats = min(runs, key=lambda s: abs(s["mvox_per_s"] - mvox_s))
+
+    # FLOPs accounting: each tile computes tile+2*halo voxels of conv work
+    tile_in_vox = float(np.prod(np.add(tile, np.multiply(2, halo))))
+    core_vox = float(np.prod(tile))
+    flops_per_in_vox = flops_tile / tile_in_vox if flops_tile else None
+    achieved_tflops = (
+        mvox_s * 1e6 * (tile_in_vox / core_vox) * flops_per_in_vox / 1e12
+        if flops_per_in_vox
+        else None
+    )
+    dev = jax.devices()[0]
+    peak = _device_peak_tflops(dev)
+    mfu = (achieved_tflops / peak * 100.0) if (achieved_tflops and peak) else None
+
     result = {
         "metric": "dense_3d_semseg_mvox_per_s_per_chip",
         "value": round(mvox_s, 2),
         "unit": "Mvox/s",
         "vs_baseline": round(mvox_s / BASELINE_MVOX_S, 1),
         "detail": {
+            "runs_mvox_per_s": [round(r, 2) for r in rates],
+            "median_pm_spread": f"{mvox_s:.2f} ± {spread:.2f}",
             "volume_mvox": stats["n_voxels"] / 1e6,
             "seconds": round(stats["seconds"], 2),
-            "device": str(jax.devices()[0]),
+            "device": str(dev),
+            "flops_per_input_voxel": round(flops_per_in_vox, 1) if flops_per_in_vox else None,
+            "achieved_tflops": round(achieved_tflops, 2) if achieved_tflops else None,
+            "peak_bf16_tflops": peak,
+            "mfu_pct": round(mfu, 2) if mfu else None,
+            "tile_split_s": {
+                "upload": round(up_s, 3),
+                "compute": round(comp_s, 3),
+                "readback": round(read_s, 3),
+            },
+            # chip-limited rate (what a locally-attached v5e would sustain);
+            # end-to-end is transfer-bound through the tunneled relay link
+            "compute_only_mvox_per_s": round(core_vox / comp_s / 1e6, 1),
             "model": "UNet3D organelles patchified (4,4,2)->(64,128,256) 4-class, bf16, fused threshold+bitpack readback",
             "baseline": "reference myelin dense prediction 11.34 MVx / 62 s on 2 GPUs",
         },

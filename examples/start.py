@@ -44,6 +44,12 @@ def main():
                         help="comma-separated cell organelles to process "
                              "(subset of mi,vc,er,golgi; sj is always used "
                              "for synapses)")
+    parser.add_argument("--shard_pipeline", action="store_true",
+                        help="run the hot pipeline steps sharded over ALL "
+                             "attached devices (object extraction, contact "
+                             "detection and property scans over an 'sp' mesh "
+                             "axis with ICI halo exchange; dense inference "
+                             "batch-sharded over 'data')")
     args = parser.parse_args()
 
     organelles = [o.strip() for o in args.organelles.split(",") if o.strip()]
@@ -74,6 +80,7 @@ def main():
             }),
             ("skeleton", {"kimimaro_skelgen": {"dust_threshold": 200},
                           "kimimaro_merge": {"dust_threshold": 150, "tick_threshold": 300}}),
+            ("tpu", {"shard_pipeline": bool(args.shard_pipeline)}),
         ],
         force_overwrite=True,
     )

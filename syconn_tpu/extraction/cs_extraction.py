@@ -48,8 +48,18 @@ def extract_contact_sites(
     n_workers: Optional[int] = None,
     mag: int = 1,
     n_folders_fs: int = 100,
+    mesh=None,
 ) -> Dict:
-    """Extract 'cs' and 'syn' SegmentationDatasets + label volumes."""
+    """Extract 'cs' and 'syn' SegmentationDatasets + label volumes.
+
+    When ``mesh`` (1D ``jax.sharding.Mesh`` over ``sp``) is given — or the
+    config enables ``tpu.shard_pipeline`` with >1 device attached — the
+    stencil detection of ``sp`` consecutive x-chunks runs as ONE sharded
+    device program with the stencil halo exchanged over the interconnect
+    (parallel/sharded.detect_cs_slab_sharded; reference fan-out:
+    syconn/extraction/cs_extraction_steps.py:44). Outputs are identical to
+    the serial path; remainder chunks run serially.
+    """
     cfg = global_params.config
     kd = kd_factory(cfg.kd_seg_path)
     sh = kd.mag_shape(mag)
@@ -142,6 +152,44 @@ def extract_contact_sites(
         size = np.minimum(cs, sh - off)
         return kd.load_seg(offset=off - halo, size=size + 2 * halo, mag=mag)
 
+    # ------------------------------------------------- sharded slab path
+    if mesh is None:
+        from ..parallel.sharded import mesh_from_config
+
+        mesh = mesh_from_config()
+    slab_post_results = []
+    n_sp = 0 if mesh is None else int(mesh.shape.get("sp", 1))
+    if n_sp > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..parallel.sharded import detect_cs_slab_sharded, slab_runs
+
+        n_full_x = int(sh[0] // cs[0])
+        slabs, _ = slab_runs((n_full_x, int(grid[1]), int(grid[2])), n_sp)
+        in_slab = {(s[0] + dx, s[1], s[2]) for s in slabs for dx in range(n_sp)}
+        chunk_ixs = [c for c in chunk_ixs if c not in in_slab]
+        poster = ThreadPoolExecutor(max_workers=n_workers or 8)
+        post_futs = []
+        for cx0, cy, cz in slabs:
+            off = np.array([cx0 * cs[0], cy * cs[1], cz * cs[2]], np.int64)
+            size = np.array(
+                [n_sp * cs[0], min(cs[1], sh[1] - off[1]), min(cs[2], sh[2] - off[2])],
+                np.int64,
+            )
+            seg = kd.load_seg(offset=off - halo, size=size + 2 * halo, mag=mag)
+            if seg.max(initial=0) >= 2**31:
+                # >31-bit SV IDs: route this slab through the serial path
+                chunk_ixs.extend((cx0 + dx, cy, cz) for dx in range(n_sp))
+                continue
+            packed = detect_cs_slab_sharded(
+                seg, mesh, stencil=tuple(int(s) for s in stencil)
+            )
+            for s in range(n_sp):
+                cs_seg = packed[s * cs[0] : (s + 1) * cs[0]]
+                post_futs.append(poster.submit(_post, (cx0 + s, cy, cz), cs_seg))
+        slab_post_results = [f.result() for f in post_futs]
+        poster.shutdown()
+
     if device_path:
         # pipelined: loader threads prefetch; the device detects (async,
         # depth 2); host threads do closing/typing/writes concurrently —
@@ -185,6 +233,8 @@ def extract_contact_sites(
             return _post(cix, _detect_host(_load(cix)))
 
         results = map_parallel(work, chunk_ixs, n_workers=n_workers, desc="extract_contact_sites")
+
+    results = slab_post_results + results
 
     # --------------------------------------------------------------- reduce
     def merge_props(prop_key):

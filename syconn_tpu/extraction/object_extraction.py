@@ -50,7 +50,12 @@ from ..parallel.executor import map_parallel
 
 log = logging.getLogger("syconn_tpu.extraction")
 
-__all__ = ["generate_subcell_kd_from_proba", "from_probabilities_to_kd", "object_segmentation_chunk"]
+__all__ = [
+    "generate_subcell_kd_from_proba",
+    "from_probabilities_to_kd",
+    "object_segmentation_chunk",
+    "labels_from_masks",
+]
 
 
 def _cdiv(a, b):
@@ -106,6 +111,16 @@ def object_segmentation_chunk(
             if n_trailing_ero > 0
             else mask
         )
+    return labels_from_masks(mask, eroded, n_trailing_ero, min_seed_vx)
+
+
+def labels_from_masks(
+    mask: np.ndarray, eroded: np.ndarray, n_trailing_ero: int, min_seed_vx: int
+) -> np.ndarray:
+    """Host labeling half of the chunk worker: connected components of the
+    filtered mask, or — when the morphology chain ends in erosions — a
+    seeded watershed from the eroded components (small seeds dropped),
+    matching object_extraction_steps.py:204."""
     if n_trailing_ero > 0:
         seeds, n = connected_components(eroded)
         if n > 0 and min_seed_vx > 1:
@@ -129,9 +144,22 @@ def from_probabilities_to_kd(
     sigma: float = 0.0,
     n_workers: Optional[int] = None,
     mag: int = 1,
+    mesh=None,
 ) -> Dict:
-    """Full chunked extraction for one type; returns stats incl. n_objects."""
+    """Full chunked extraction for one type; returns stats incl. n_objects.
+
+    When ``mesh`` (a 1D ``jax.sharding.Mesh`` over an ``sp`` axis) is given,
+    runs the filtering chain of ``sp`` consecutive x-chunks at a time as ONE
+    sharded device program (parallel/sharded.segment_slab_sharded) — the
+    interior halos travel over the interconnect, matching the reference's
+    chunk fan-out (object_extraction_steps.py:42) with identical outputs;
+    remainder chunks fall back to the serial per-chunk path.
+    """
     src = kd_factory(src_kd_path)
+    if mesh is None:
+        from ..parallel.sharded import mesh_from_config
+
+        mesh = mesh_from_config()
     sh = src.mag_shape(mag)
     cs = np.asarray(chunk_shape, np.int64)
     cs = np.minimum(cs, sh)
@@ -162,15 +190,11 @@ def from_probabilities_to_kd(
     faces: Dict[Tuple[int, int, int], List] = {}
     uniq_ids: List[np.ndarray] = []
 
-    def work_segment(cix):
-        off = np.array(cix) * cs
-        size = np.minimum(cs, sh - off)
-        prob = src.load_raw(offset=off - halo, size=size + 2 * halo, mag=mag)
-        lab = object_segmentation_chunk(
-            prob, thresh_uint8, morph_ops, struct, min_seed_vx, sigma=sigma
-        )
+    def finish_chunk(cix, lab, size):
+        """Label volume (chunk + halo) -> encode, write, face capture."""
         core = lab[halo : halo + size[0], halo : halo + size[1], halo : halo + size[2]]
         enc = encode_chunk_labels(core, lin(cix))
+        off = np.array(cix) * cs
         target.save_seg(enc, offset=off, mags=(mag,), data_mag=mag)
         ids = np.unique(enc)
         face_list = []
@@ -182,8 +206,53 @@ def from_probabilities_to_kd(
             face_list.append((enc[tuple(sl_first)].copy(), enc[tuple(sl_last)].copy()))
         return cix, ids[ids != 0], face_list
 
-    for cix, ids, face_list in map_parallel(
-        work_segment, chunk_ixs, n_workers=n_workers, desc="object_segmentation"
+    def work_segment(cix):
+        off = np.array(cix) * cs
+        size = np.minimum(cs, sh - off)
+        prob = src.load_raw(offset=off - halo, size=size + 2 * halo, mag=mag)
+        lab = object_segmentation_chunk(
+            prob, thresh_uint8, morph_ops, struct, min_seed_vx, sigma=sigma
+        )
+        return finish_chunk(cix, lab, size)
+
+    serial_chunks = chunk_ixs
+    slab_results = []
+    n_sp = 0 if mesh is None else int(mesh.shape.get("sp", 1))
+    if n_sp > 1 and struct is not None:
+        from ..parallel.sharded import segment_slab_sharded, slab_runs
+
+        n_full_x = int(sh[0] // cs[0])  # only full-size x-chunks shard evenly
+        slabs, _ = slab_runs((n_full_x, int(grid[1]), int(grid[2])), n_sp)
+        in_slab = {
+            (s[0] + dx, s[1], s[2]) for s in slabs for dx in range(n_sp)
+        }
+        serial_chunks = [c for c in chunk_ixs if c not in in_slab]
+
+        def work_slab(slab):
+            cx0, cy, cz = slab
+            off = np.array([cx0 * cs[0], cy * cs[1], cz * cs[2]], np.int64)
+            size = np.array(
+                [n_sp * cs[0], min(cs[1], sh[1] - off[1]), min(cs[2], sh[2] - off[2])],
+                np.int64,
+            )
+            prob = src.load_raw(offset=off - halo, size=size + 2 * halo, mag=mag)
+            masks, eroded, n_tr = segment_slab_sharded(
+                prob, thresh_uint8, morph_ops, struct, mesh, int(halo), sigma=sigma
+            )
+            out = []
+            csize = np.array([cs[0], size[1], size[2]], np.int64)
+            for s in range(n_sp):
+                lab = labels_from_masks(masks[s], eroded[s], n_tr, min_seed_vx)
+                out.append(finish_chunk((cx0 + s, cy, cz), lab, csize))
+            return out
+
+        # the device is a single resource: run slabs sequentially (each is
+        # already a full-mesh program); host finish work rides threads below
+        for slab in slabs:
+            slab_results.extend(work_slab(slab))
+
+    for cix, ids, face_list in slab_results + map_parallel(
+        work_segment, serial_chunks, n_workers=n_workers, desc="object_segmentation"
     ):
         uniq_ids.append(ids)
         faces[cix] = face_list

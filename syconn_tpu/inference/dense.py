@@ -66,10 +66,25 @@ class DenseTilePredictor:
         batch_size: int = 1,
         mode: str = "probs",
         thresholds: Optional[Sequence[float]] = None,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis —
+        the tile batch shards over it (params replicated), the TPU-native
+        equivalent of the reference's one-GPU-job-per-chunk-list fan-out
+        (syconn/handler/prediction.py:594). ``batch_size`` is rounded up to
+        a multiple of the axis size."""
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
         self.model = model
         self.tile_shape = np.asarray(tile_shape, np.int64)
         self.halo = np.asarray(halo, np.int64)
+        self.mesh = mesh
+        self._data_sharding = None
+        if mesh is not None:
+            n_data = int(mesh.shape.get("data", 1))
+            batch_size = _cdiv(int(batch_size), n_data) * n_data
+            self._data_sharding = NamedSharding(mesh, _P("data"))
+            params = jax.device_put(params, NamedSharding(mesh, _P()))
         self.batch_size = int(batch_size)
         self.mode = mode
         self._params = jax.device_put(params)
@@ -113,6 +128,14 @@ class DenseTilePredictor:
             weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
             return jnp.sum(fg.astype(jnp.uint8) * weights, axis=-1, dtype=jnp.uint8)
 
+        if self._data_sharding is not None:
+            # batch-sharded jit: XLA partitions the forward over 'data';
+            # per-tile arithmetic is unchanged -> outputs identical to serial
+            fwd = jax.jit(
+                fwd.__wrapped__,
+                in_shardings=(NamedSharding(mesh, _P()), self._data_sharding),
+                out_shardings=self._data_sharding,
+            )
         self._fwd = fwd
         self._in_shape = (self.batch_size,) + tuple(np.add(ts, np.multiply(2, h)))
 
@@ -123,6 +146,8 @@ class DenseTilePredictor:
     # ------------------------------------------------------------- pipeline
     def dispatch(self, x: np.ndarray):
         """Upload + launch (non-blocking); returns a device future."""
+        if self._data_sharding is not None:
+            x = jax.device_put(np.asarray(x), self._data_sharding)
         return self._fwd(self._params, jnp.asarray(x))
 
     def fetch_raw(self, dev_out) -> np.ndarray:
@@ -264,6 +289,7 @@ def predict_dense_to_kd(
     pipeline_depth: int = 2,
     predictor: Optional["DenseTilePredictor"] = None,
     batch_size: int = 1,
+    mesh=None,
 ) -> dict:
     """Predict a whole chunked volume and write per-class outputs.
 
@@ -277,9 +303,13 @@ def predict_dense_to_kd(
     Returns timing/throughput stats.
     """
     src = ChunkedVolume.open(kd_path)
+    if mesh is None and predictor is None:
+        from ..parallel.sharded import mesh_from_config
+
+        mesh = mesh_from_config(axis_name="data")
     pred = predictor if predictor is not None else DenseTilePredictor(
         model, params, tile_shape=tile_shape, halo=halo, mode=mode,
-        thresholds=thresholds, batch_size=batch_size,
+        thresholds=thresholds, batch_size=batch_size, mesh=mesh,
     )
     sh = src.mag_shape(mag)
     ts = np.asarray(tile_shape, np.int64)

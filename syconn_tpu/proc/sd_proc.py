@@ -50,8 +50,17 @@ def map_subcell_extract_props(
     generate_sv_meshes: bool = True,
     mag: int = 1,
     mesh_downsampling: Optional[Dict[str, Sequence[int]]] = None,
+    device_mesh=None,
 ) -> Dict:
     """Extract all SegmentationDatasets (sv + organelles) in one volume scan.
+
+    When ``device_mesh`` (1D ``jax.sharding.Mesh`` over ``sp``) is given —
+    or the config enables ``tpu.shard_pipeline`` — each chunk's property
+    scan and organelle-overlap counting run x-sharded over the mesh
+    (parallel/sharded.object_properties_sharded / pair_counts_sharded),
+    the TPU equivalent of the reference's per-chunk SLURM fan-out of the
+    Cython scan (syconn/proc/sd_proc.py:273). Falls back to the host scan
+    per chunk when shapes/ID ranges don't fit.
 
     Returns per-type object counts.
     """
@@ -73,12 +82,42 @@ def map_subcell_extract_props(
         (cx, cy, cz) for cx in range(grid[0]) for cy in range(grid[1]) for cz in range(grid[2])
     ]
 
+    if device_mesh is None:
+        from ..parallel.sharded import mesh_from_config
+
+        device_mesh = mesh_from_config()
+    n_sp = 0 if device_mesh is None else int(device_mesh.shape.get("sp", 1))
+
+    def _props(vol):
+        if n_sp > 1 and vol.shape[0] % n_sp == 0 and vol.max(initial=0) < 2**31:
+            from ..parallel.sharded import object_properties_sharded
+
+            try:
+                return object_properties_sharded(vol, device_mesh)
+            except ValueError:  # per-shard table overflow -> host scan
+                pass
+        return object_properties_arrays(vol)
+
+    def _pairs(sc, cell):
+        if (
+            n_sp > 1
+            and sc.shape[0] % n_sp == 0
+            and max(sc.max(initial=0), cell.max(initial=0)) < 2**31
+        ):
+            from ..parallel.sharded import pair_counts_sharded
+
+            try:
+                return pair_counts_sharded(sc, cell, device_mesh)
+            except ValueError:
+                pass
+        return pair_counts(sc, cell)
+
     def work_chunk(cix):
         off = np.array(cix) * cs
         size = np.minimum(cs, sh - off)
         cell = kd.load_seg(offset=off, size=size, mag=mag)
         res = {"off": off}
-        res["sv"] = object_properties_arrays(cell)
+        res["sv"] = _props(cell)
         res["pairs"] = {}
         res["sc"] = {}
         meshes = {}
@@ -88,8 +127,8 @@ def map_subcell_extract_props(
             )
         for co in organelles:
             sc = kd_orgs[co].load_seg(offset=off, size=size, mag=mag)
-            res["sc"][co] = object_properties_arrays(sc)
-            res["pairs"][co] = pair_counts(sc, cell)
+            res["sc"][co] = _props(sc)
+            res["pairs"][co] = _pairs(sc, cell)
             meshes[co] = find_meshes(
                 sc, off, scale, downsampling=mesh_downsampling.get(co, (1, 1, 1))
             )
