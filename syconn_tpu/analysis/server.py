@@ -3,8 +3,16 @@
 Reference parity: syconn/analysis/server.py — routes :29-121
 (``/ssv_mesh``, ``/ssv_skeleton``, ``/ssv_list``, ``/svs_of_ssv``,
 ``/ssv_of_sv``, ``/ct_of_ssv``, ``/all_syn_meta``, ``/push_so_attr``,
-``/pull_so_attr``, per-object meshes), backend :125 ``SyConnBackend``,
-entry point :600 ``main`` (console script ``syconn.server``).
+``/pull_so_attr``, the per-component mesh streams ``/ssv_ind`` /
+``/ssv_vert`` / ``/ssv_norm`` and per-object ``/ssv_obj_ind|vert|norm``),
+backend :125 ``SyConnBackend``, entry point :600 ``main`` (console script
+``syconn.server``).
+
+Beyond the reference (whose streams are JSON number lists), every mesh
+component route accepts ``?format=raw`` and then returns the array as raw
+little-endian bytes (``ind``: uint32, ``vert``/``norm``: float32) with
+``application/octet-stream`` — an order of magnitude less transfer and no
+JSON parse on the viewer side for large cells.
 """
 
 from __future__ import annotations
@@ -81,6 +89,16 @@ class SyConnBackend:
         certainty = ssv.lookup_in_attribute_dict("celltype_cnn_e3_certainty")
         return {"ct": ct, "certainty": certainty}
 
+    def ssv_mesh_component(self, ssv_id: int, comp: str, obj_type: str = "sv") -> np.ndarray:
+        """One mesh component ('ind' | 'vert' | 'norm') as an array."""
+        ssv = self.ssd.get_super_segmentation_object(int(ssv_id))
+        mesh = ssv.load_mesh(obj_type)
+        ix = {"ind": 0, "vert": 1, "norm": 2}[comp]
+        if ix == 2 and len(mesh) < 3:
+            return np.zeros(0, np.float32)
+        arr = np.asarray(mesh[ix])
+        return arr.astype(np.uint32 if comp == "ind" else np.float32)
+
     def all_syn_meta(self, syn_prob_t: Optional[float] = None) -> Dict:
         if syn_prob_t is None:
             syn_prob_t = float(global_params.config["cell_objects"]["thresh_synssv_proba"])
@@ -89,7 +107,11 @@ class SyConnBackend:
         prob = np.ones(len(ids)) if prob is None else prob
         sel = prob >= syn_prob_t
         out = {"ids": ids[sel], "syn_prob": prob[sel]}
-        for key in ["rep_coord", "size", "neuron_partners", "syn_sign"]:
+        for key in [
+            "rep_coord", "size", "neuron_partners", "syn_sign",
+            "partner_axoness", "partner_spiness", "partner_celltypes",
+            "spinehead_vol",
+        ]:
             arr = self.sd_syn.load_numpy_data(key)
             if arr is not None:
                 out[key] = arr[sel]
@@ -118,6 +140,7 @@ def make_app(backend: SyConnBackend):
         qs = parse_qs(environ.get("QUERY_STRING", ""))
         parts = [p for p in path.split("/") if p]
         status = "200 OK"
+        raw = qs.get("format", [""])[0] == "raw"
         try:
             if not parts:
                 payload = {"service": "syconn_tpu", "wd": backend.wd}
@@ -127,12 +150,14 @@ def make_app(backend: SyConnBackend):
                 payload = backend.ssv_mesh(int(parts[1]), qs.get("obj_type", ["sv"])[0])
             elif parts[0] == "ssv_obj_mesh":
                 payload = backend.ssv_mesh(int(parts[1]), parts[2])
-            elif parts[0] == "ssv_ind":
-                payload = {"ind": backend.ssv_mesh(int(parts[1]))["ind"]}
-            elif parts[0] == "ssv_vert":
-                payload = {"vert": backend.ssv_mesh(int(parts[1]))["vert"]}
-            elif parts[0] == "ssv_norm":
-                payload = {"norm": backend.ssv_mesh(int(parts[1]))["norm"]}
+            elif parts[0] in ("ssv_ind", "ssv_vert", "ssv_norm"):
+                comp = parts[0].split("_")[1]
+                arr = backend.ssv_mesh_component(int(parts[1]), comp)
+                payload = arr.tobytes() if raw else {comp: arr.tolist()}
+            elif parts[0] in ("ssv_obj_ind", "ssv_obj_vert", "ssv_obj_norm"):
+                comp = parts[0].split("_")[2]
+                arr = backend.ssv_mesh_component(int(parts[1]), comp, parts[2])
+                payload = arr.tobytes() if raw else {comp: arr.tolist()}
             elif parts[0] == "ssv_skeleton":
                 payload = backend.ssv_skeleton(int(parts[1]))
             elif parts[0] == "svs_of_ssv":
@@ -159,6 +184,12 @@ def make_app(backend: SyConnBackend):
         except Exception as e:  # pragma: no cover - defensive
             status = "500 Internal Server Error"
             payload = {"error": str(e)}
+        if isinstance(payload, bytes):
+            start_response(status, [
+                ("Content-Type", "application/octet-stream"),
+                ("Content-Length", str(len(payload))),
+            ])
+            return [payload]
         data = json.dumps(payload, cls=_NumpyJSONEncoder).encode()
         start_response(status, [("Content-Type", "application/json"), ("Content-Length", str(len(data)))])
         return [data]

@@ -654,14 +654,17 @@ def export_matrix(dest_name: Optional[str] = None, syn_prob_t: Optional[float] =
     cts = sd_syn.load_numpy_data("partner_celltypes")
     axo = sd_syn.load_numpy_data("partner_axoness")
     spi = sd_syn.load_numpy_data("partner_spiness")
+    shv = sd_syn.load_numpy_data("spinehead_vol")
     n = int(sel.sum())
     cts = cts[sel] if cts is not None else np.full((n, 2), -1)
     axo = axo[sel] if axo is not None else np.full((n, 2), -1)
     spi = spi[sel] if spi is not None else np.full((n, 2), -1)
+    shv = shv[sel] if shv is not None else np.zeros(n)
 
     header = (
         "id,partner_a,partner_b,coord_x,coord_y,coord_z,size_vx,syn_sign,"
-        "syn_prob,ct_a,ct_b,axoness_a,axoness_b,spiness_a,spiness_b"
+        "syn_prob,ct_a,ct_b,axoness_a,axoness_b,spiness_a,spiness_b,"
+        "spinehead_vol"
     )
     rows = []
     sel_ids = ids[sel]
@@ -672,7 +675,7 @@ def export_matrix(dest_name: Optional[str] = None, syn_prob_t: Optional[float] =
             f"{int(coords[i][0])},{int(coords[i][1])},{int(coords[i][2])},"
             f"{int(sizes[i])},{int(signs[i])},{sel_prob[i]:.4f},"
             f"{int(cts[i][0])},{int(cts[i][1])},{int(axo[i][0])},{int(axo[i][1])},"
-            f"{int(spi[i][0])},{int(spi[i][1])}"
+            f"{int(spi[i][0])},{int(spi[i][1])},{float(shv[i]):.6f}"
         )
     csv_path = dest_name + ".csv"
     with open(csv_path, "w") as f:
@@ -688,6 +691,7 @@ def export_matrix(dest_name: Optional[str] = None, syn_prob_t: Optional[float] =
         celltypes=cts,
         axoness=axo,
         spiness=spi,
+        spinehead_vol=shv,
     )
     log.info("export_matrix: %d synapses -> %s", n, csv_path)
     return csv_path

@@ -140,3 +140,148 @@ def test_kzip_roundtrip(analysis_world, working_dir, tmp_path):
     assert np.array_equal(np.sort(sso2.sv_ids), np.sort(ssv.sv_ids))
     # standalone: missing mesh types come back empty, not crash
     assert len(init_sso_from_kzip(p).load_mesh("er")[1]) == 0
+
+
+def test_in_memory_bio_dataset(analysis_world, working_dir):
+    """Full in-memory analysis model: compartments, organelle mapping,
+    spines, path densities, features, skeleton path distance, conn mat."""
+    import numpy as np
+
+    from syconn_tpu.analysis.bio_interface import (
+        build_conn_mat,
+        feature_labels,
+        get_skeleton_path_distance,
+        init_in_mem_dataset,
+        neuron_features,
+    )
+    from syconn_tpu.extraction.cs_processing import (
+        collect_properties_from_ssv_partners,
+        export_matrix,
+    )
+    from syconn_tpu.reps.segmentation import SegmentationDataset
+
+    ssd = analysis_world
+    # label cell 7's skeleton as axon, cell 9's as dendrite with spine heads
+    for ssv_id, (axo, spin) in {7: (1, 2), 9: (0, 1)}.items():
+        ssv = ssd.get_super_segmentation_object(ssv_id)
+        assert ssv.load_skeleton()
+        n = len(ssv.skeleton["nodes"])
+        ssv.skeleton["axoness"] = np.full(n, axo, np.int64)
+        ssv.skeleton["spiness"] = np.full(n, spin, np.int64)
+        ssv.save_skeleton()
+        ssv.attr_dict["celltype_cnn_e3"] = 2 if ssv_id == 9 else 3
+        ssv.save_attr_dict()
+    sd_syn = SegmentationDataset("syn_ssv", working_dir=working_dir)
+    sd_syn.save_numpy_data("spinehead_vol", np.full(len(sd_syn.ids), 0.123))
+    collect_properties_from_ssv_partners()
+    export_matrix()
+
+    ds = init_in_mem_dataset(working_dir)
+    assert len(ds.synapses) >= 1 and len(ds.neurons) == 2
+    s = next(iter(ds.synapses.values()))
+    assert s.pre.ID == 7 and s.post.ID == 9  # axon side is presynaptic
+    assert s.pre_morph == "axon"
+    assert s.size > 0  # asymmetric -> positive signed size
+    assert s.post_spine_vol == 0.123
+    pre, post = ds.neurons[7], ds.neurons[9]
+    # synapse containers: pre side in axon, post side in dendrite
+    assert len(pre.axon.synapses) == len(ds.synapses)
+    assert len(post.dendrite.synapses) == len(ds.synapses)
+    assert len(pre.dendrite.synapses) == 0
+    # spine-head synapse spawned a Spine with the measured volume
+    assert len(post.spines) == len(ds.synapses)
+    assert next(iter(post.spines.values())).volume == 0.123
+    # compartment statistics
+    assert pre.axon.skel_length > 0 and post.dendrite.skel_length > 0
+    assert pre.soma.skel_length == 0
+    assert pre.axon.synapse_path_density > 0
+    assert pre.axon.synapse_vol_path_density > 0
+    assert np.isclose(pre.axon.fraction_asym, 1.0)
+    assert np.isclose(post.dendrite.head_other_ratio, 1.0)
+    assert post.dendrite.pre_neurons[0] is pre
+    # celltypes picked up from the matrix/attr chain
+    assert pre.celltype == 3 and post.celltype == 2
+    # features
+    fv = neuron_features(pre)
+    assert fv.shape == (len(feature_labels()),)
+    assert np.isfinite(fv[feature_labels().index("axon_syn_path_density")])
+    # skeleton path distance along one cell
+    nodes = np.asarray(pre.skeleton["nodes"])
+    d = get_skeleton_path_distance(pre, nodes[0], nodes[-1], max_query_coord_dist=5.0)
+    assert np.isfinite(d) and d >= 0
+    # conn mat: one directed entry pre -> post
+    mat, ids = build_conn_mat(ds)
+    assert mat.shape == (2, 2)
+    assert mat[list(ids).index(7), list(ids).index(9)] > 0
+    assert mat[list(ids).index(9), list(ids).index(7)] == 0
+
+
+def test_binary_mesh_streams_and_viewer_client(analysis_world, working_dir, tmp_path):
+    """Per-component mesh routes (JSON + raw binary) and the full gate
+    client: streaming, download queue, filtered synapse table, scene kzip."""
+    import urllib.request
+    import zipfile
+
+    import numpy as np
+
+    from syconn_tpu.analysis.server import serve_background
+    from syconn_tpu.analysis.viewer_client import SyConnClient, int2str_label_converter
+
+    ssd = analysis_world
+    httpd, port = serve_background(working_dir)
+    try:
+        client = SyConnClient(port=port, synthresh=0.0, axodend_only=False)
+        ssvs = client.ssv_list()
+        assert sorted(ssvs) == sorted(int(i) for i in ssd.ssv_ids)
+        ssv_id = ssvs[0]
+
+        # raw binary component streams == JSON streams
+        def get_bytes(route):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{route}", timeout=10) as r:
+                return r.read(), r.headers.get("Content-Type")
+
+        raw, ct = get_bytes(f"/ssv_vert/{ssv_id}?format=raw")
+        assert ct == "application/octet-stream"
+        vert_raw = np.frombuffer(raw, np.float32)
+        import json as _json
+
+        js, ct2 = get_bytes(f"/ssv_vert/{ssv_id}")
+        assert ct2 == "application/json"
+        vert_js = np.asarray(_json.loads(js)["vert"], np.float32).ravel()
+        assert np.array_equal(vert_raw, vert_js) and len(vert_raw) > 0
+        ind_raw, _ = get_bytes(f"/ssv_obj_ind/{ssv_id}/sv?format=raw")
+        assert len(np.frombuffer(ind_raw, np.uint32)) > 0
+
+        # client mesh == server mesh
+        mesh = client.ssv_mesh(ssv_id)
+        assert len(mesh["vert"]) == len(vert_raw)
+
+        # threaded download queue
+        for i in ssvs:
+            client.add_ssv_obj_mesh_to_down_queue(i, "sv")
+        client.wait_for_all_downloads()
+        for i in ssvs:
+            m = client.get_ssv_obj_mesh_from_results_store(i, "sv")
+            assert m is not None and len(m["vert"]) > 0
+
+        # synapse table with filters (axoness unset -> axodend filter empties)
+        tab = client.synapse_table(synthresh=0.0, axodend_only=False)
+        assert len(tab["ids"]) >= 1
+        tab2 = client.synapse_table(synthresh=1.1)
+        assert len(tab2.get("ids", [])) == 0
+
+        # label converter
+        assert int2str_label_converter(1, "axgt") == "axon"
+        assert int2str_label_converter(1, "spgt") == "head"
+        assert isinstance(int2str_label_converter(2, "ctgt_j0251_v2"), str)
+
+        # scene export -> valid kzip with plys + skeletons + synapse table
+        out = client.export_scene_kzip(str(tmp_path / "scene.k.zip"), ssvs)
+        with zipfile.ZipFile(out) as zf:
+            names = zf.namelist()
+            assert any(n.startswith("mesh_") and n.endswith(".ply") for n in names)
+            assert any(n.startswith("skeleton_") for n in names)
+            assert "synapses.json" in names
+            assert zf.read(f"mesh_{ssvs[0]}_sv.ply").startswith(b"ply")
+    finally:
+        httpd.shutdown()
