@@ -61,16 +61,25 @@ def run_semsegaxoness_prediction(max_n_jobs_gpu: Optional[int] = None):
 
         n = predict_compartments_ssd(skel_key="axoness", n_classes=3)
     else:
-        from ..inference.views_infer import semseg_of_sso_views
+        from ..inference.views_infer import (
+            average_node_axoness_views,
+            semseg_of_sso_views,
+        )
         from ..parallel.executor import map_parallel
         from ..reps.super_segmentation import SuperSegmentationDataset
 
         ssd = SuperSegmentationDataset(working_dir=cfg.working_dir)
+        # optional reference-parity chain: per-location scalar view CMN
+        # predictions averaged onto nodes along the skeleton (ssh:1152)
+        scalar_avg = bool(cfg["compartments"].get("view_scalar_avg", False))
 
         def work(ssv_id):
-            semseg_of_sso_views(
-                ssd.get_super_segmentation_object(int(ssv_id)), semseg_key="axoness", n_classes=3
-            )
+            ssv = ssd.get_super_segmentation_object(int(ssv_id))
+            semseg_of_sso_views(ssv, semseg_key="axoness", n_classes=3)
+            if scalar_avg:
+                max_dist = float(cfg["compartments"]["dist_axoness_averaging"])
+                average_node_axoness_views(ssv, max_dist=max_dist)
+                ssv.save_skeleton()
             return 1
 
         n = sum(map_parallel(work, list(ssd.ssv_ids), n_workers=4, desc="axoness_views"))

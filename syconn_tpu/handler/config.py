@@ -291,6 +291,10 @@ class Config:
         return self._mpath("organelles")
 
     @property
+    def mpath_axoness_views(self) -> str:
+        return self._mpath("axoness_views")
+
+    @property
     def mpath_tnet(self) -> str:
         return self._mpath("tnet")
 

@@ -29,6 +29,8 @@ __all__ = [
     "view_embedding_of_sso",
     "semseg_of_sso_views",
     "gliapred_sso_views",
+    "axoness_views_of_sso",
+    "average_node_axoness_views",
 ]
 
 
@@ -180,6 +182,108 @@ def semseg_of_sso_views(
             ssv.save_skeleton()
     ssv.save_attr_dict()
     return vert_labels
+
+
+def axoness_views_of_sso(
+    ssv, pred_key: str = "axoness_preds_cnn", save: bool = True
+):
+    """Per-view-location scalar compartment predictions of one cell
+    (reference chain: per-SV ``axoness_preds`` via the AxonViews CMN,
+    consumed by ``average_node_axoness_views`` ssh:1152): render the
+    sampled views, classify each location with the 3-class view CMN, store
+    per-location predictions + the locations.
+
+    Returns (preds (L,), locations (L, 3) nm)."""
+    from ..models.cmn import MultiViewCMN
+    from ..models.io import get_or_init_model
+    from ..render.views import render_sampled_sso
+
+    cfg = global_params.config
+    views, locs = render_sampled_sso(ssv, ws=(128, 64), nb_views=2)
+    if len(views) == 0:
+        return np.zeros(0, np.int64), np.zeros((0, 3), np.float32)
+    model, params = get_or_init_model(
+        cfg.mpath_axoness_views,
+        lambda: (MultiViewCMN(n_classes=3, widths=(16, 32, 64)), (1, 2, 128, 64, views.shape[2])),
+    )
+    x = views_to_model_input(views).astype(np.float32)
+    logits = _batched_apply(model, params, x)
+    preds = np.argmax(logits, axis=-1).astype(np.int64)
+    ssv.load_attr_dict()
+    ssv.attr_dict[pred_key] = preds
+    ssv.attr_dict["view_locations"] = np.asarray(locs, np.float32)
+    if save:
+        ssv.save_attr_dict()
+    return preds, np.asarray(locs, np.float32)
+
+
+def average_node_axoness_views(
+    ssv,
+    pred_key: str = "axoness_preds_cnn",
+    max_dist: float = 10000.0,
+    dest_key: Optional[str] = None,
+    return_res: bool = False,
+):
+    """Average per-view compartment predictions along the skeleton
+    (reference: super_segmentation_helper.py:1152
+    ``average_node_axoness_views``): every node is assigned the view index
+    of its nearest sample location; for each node, all nodes within
+    ``max_dist`` nm path length are collected (batched multi-source
+    Dijkstra over the edge-length graph instead of the reference's
+    per-node networkx loop) and the majority over the *unique* view
+    predictions in that window becomes the node's label.
+
+    Writes ``skeleton['axoness_avg{max_dist}']`` (the key the downstream
+    compartment consumers read) unless ``return_res``.
+    """
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import dijkstra
+    from scipy.spatial import cKDTree
+
+    if ssv.skeleton is None and not ssv.load_skeleton():
+        log.error("no skeleton for ssv %d; skipping view averaging", ssv.id)
+        return None
+    sk = ssv.skeleton
+    edges = np.asarray(sk.get("edges", np.zeros((0, 2))), np.int64).reshape(-1, 2)
+    if len(edges) == 0:
+        log.error("zero edges in skeleton of ssv %d; skipping", ssv.id)
+        return None
+    ssv.load_attr_dict()
+    preds = np.asarray(ssv.attr_dict.get(pred_key, []))
+    locs = np.asarray(ssv.attr_dict.get("view_locations", np.zeros((0, 3))), np.float64)
+    if len(preds) == 0 or len(preds) != len(locs):
+        preds, locs = axoness_views_of_sso(ssv, pred_key=pred_key)
+        if len(preds) == 0:
+            return None
+    scale = np.asarray(ssv.scaling, np.float64)
+    nodes_nm = np.asarray(sk["nodes"], np.float64) * scale[None]
+    # view index of each node = nearest sample location (reference
+    # cnn_axoness2skel with k=1)
+    view_ixs = cKDTree(locs).query(nodes_nm, k=1)[1]
+    sk["view_ixs"] = view_ixs.astype(np.int64)
+
+    n = len(nodes_nm)
+    w = np.linalg.norm(nodes_nm[edges[:, 0]] - nodes_nm[edges[:, 1]], axis=1)
+    g = coo_matrix(
+        (np.concatenate([w, w]),
+         (np.concatenate([edges[:, 0], edges[:, 1]]),
+          np.concatenate([edges[:, 1], edges[:, 0]]))),
+        shape=(n, n),
+    ).tocsr()
+    avg = np.empty(n, preds.dtype)
+    chunk = max(1, int(2**22 // max(n, 1)))  # bound the dist-matrix block
+    for s in range(0, n, chunk):
+        srcs = list(range(s, min(s + chunk, n)))
+        dmat = dijkstra(g, directed=False, indices=srcs, limit=float(max_dist))
+        for row, src in enumerate(srcs):
+            neighs = np.flatnonzero(np.isfinite(dmat[row]))
+            uix = np.unique(view_ixs[neighs])
+            cls, cnts = np.unique(preds[uix], return_counts=True)
+            avg[src] = cls[np.argmax(cnts)]
+    if return_res:
+        return avg
+    sk[f"axoness_avg{int(max_dist)}"] = avg
+    return avg
 
 
 def gliapred_sso_views(ssv, save: bool = True) -> float:

@@ -25,6 +25,7 @@ __all__ = [
     "render_sso_coords_label_views",
     "render_sampled_sso",
     "semseg2mesh_via_views",
+    "write_sv_views_chunked",
 ]
 
 VIEW_CHANNELS = ["sv", "mi", "vc", "sj"]
@@ -188,3 +189,33 @@ def semseg2mesh_via_views(
     if unpredicted_label is not None:
         out = np.where(votes.sum(axis=1) == 0, unpredicted_label, out)
     return out
+
+
+def write_sv_views_chunked(
+    svs, views: np.ndarray, part_views: np.ndarray, view_key: str = "raw"
+):
+    """Write many supervoxels' views into their per-shard view caches with
+    ONE storage open/push per shard (reference: proc/rendering.py:581
+    ``write_sv_views_chunked``).
+
+    Args:
+        svs: SegmentationObjects (typically all SVs of one cell).
+        views: concatenated view array over all SVs.
+        part_views: cumulated view counts; SV ``i`` owns
+            ``views[part_views[i]:part_views[i + 1]]``.
+        view_key: cache key (e.g. 'raw').
+    """
+    from ..backend import CompressedStorage
+
+    part_views = np.asarray(part_views, np.int64)
+    assert len(part_views) == len(svs) + 1
+    by_path = {}
+    for i, sv in enumerate(svs):
+        by_path.setdefault(sv.view_path, []).append(
+            (int(sv.id), int(part_views[i]), int(part_views[i + 1]))
+        )
+    for path, items in by_path.items():
+        cs = CompressedStorage(path, read_only=False)
+        for sv_id, lo, hi in items:
+            cs[(sv_id, view_key)] = np.asarray(views[lo:hi])
+        cs.push()

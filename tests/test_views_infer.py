@@ -97,3 +97,50 @@ def test_viewer_client(view_world, working_dir):
         assert c.pull_so_attr(ssvs[0], "sv", "test_attr") == 42
     finally:
         httpd.shutdown()
+
+
+def test_average_node_axoness_views(view_world):
+    """Per-location scalar view predictions averaged onto skeleton nodes
+    (reference ssh:1152): view_ixs assignment, path-window majority, and
+    the smoothing property (every node label is one of the view preds)."""
+    from syconn_tpu.inference.views_infer import (
+        average_node_axoness_views,
+        axoness_views_of_sso,
+    )
+
+    ssd = view_world
+    ssv = ssd.get_super_segmentation_object(int(ssd.ssv_ids[0]))
+    preds, locs = axoness_views_of_sso(ssv)
+    assert len(preds) == len(locs) > 0
+    assert ssv.load_skeleton()
+    avg = average_node_axoness_views(ssv, max_dist=10000.0, return_res=True)
+    assert avg is not None and len(avg) == len(ssv.skeleton["nodes"])
+    assert set(np.unique(avg)) <= set(np.unique(preds))
+    assert "view_ixs" in ssv.skeleton
+    assert len(ssv.skeleton["view_ixs"]) == len(ssv.skeleton["nodes"])
+    # persisted-key variant
+    average_node_axoness_views(ssv, max_dist=10000.0)
+    assert "axoness_avg10000" in ssv.skeleton
+    # with a huge window every node sees every view -> constant label
+    allv = average_node_axoness_views(ssv, max_dist=1e12, return_res=True)
+    cls, cnts = np.unique(preds[np.unique(ssv.skeleton["view_ixs"])], return_counts=True)
+    assert np.all(allv == cls[np.argmax(cnts)])
+
+
+def test_write_sv_views_chunked(view_world):
+    """Chunked per-SV view cache writes land in each SV's view storage."""
+    from syconn_tpu.render.views import write_sv_views_chunked
+    from syconn_tpu.reps.segmentation import SegmentationDataset
+
+    ssd = view_world
+    ssv = ssd.get_super_segmentation_object(int(ssd.ssv_ids[0]))
+    svs = list(ssv.svs)
+    rng = np.random.default_rng(0)
+    counts = [int(rng.integers(1, 4)) for _ in svs]
+    part = np.concatenate([[0], np.cumsum(counts)])
+    views = rng.integers(0, 255, (int(part[-1]), 2, 1, 8, 4), dtype=np.uint8)
+    write_sv_views_chunked(svs, views, part, view_key="raw")
+    for i, sv in enumerate(svs):
+        got = sv.load_views("raw")
+        assert got is not None
+        assert np.array_equal(got, views[part[i]:part[i + 1]])
