@@ -41,11 +41,33 @@ from ..io.chunked import ChunkedVolume
 
 log = logging.getLogger("syconn_tpu.inference")
 
-__all__ = ["DenseTilePredictor", "predict_dense_to_kd"]
+__all__ = ["DenseTilePredictor", "predict_dense_to_kd", "shrink_tile_shape"]
 
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+def _is_oom(e: Exception) -> bool:
+    s = str(e)
+    return "RESOURCE_EXHAUSTED" in s or "Out of memory" in s or "out of memory" in s
+
+
+def shrink_tile_shape(tile_shape, halo, patch):
+    """Halve the largest tile axis (snapped to the model patch), shrinking
+    the halo with it when needed — the degrade-instead-of-die policy of the
+    reference's dense predictor (syconn/handler/prediction.py:773-794).
+    Returns (tile_shape, halo) or None when nothing can shrink further."""
+    ts = np.asarray(tile_shape, np.int64).copy()
+    h = np.asarray(halo, np.int64).copy()
+    p = np.asarray(patch, np.int64)
+    ax = int(np.argmax(ts))
+    new = max(int(p[ax]), int(ts[ax] // 2 // p[ax] * p[ax]))
+    if new == ts[ax]:
+        return None
+    ts[ax] = new
+    h[ax] = min(int(h[ax]), new) // p[ax] * p[ax]
+    return tuple(int(t) for t in ts), tuple(int(x) for x in h)
 
 
 class DenseTilePredictor:
@@ -307,10 +329,32 @@ def predict_dense_to_kd(
         from ..parallel.sharded import mesh_from_config
 
         mesh = mesh_from_config(axis_name="data")
-    pred = predictor if predictor is not None else DenseTilePredictor(
-        model, params, tile_shape=tile_shape, halo=halo, mode=mode,
-        thresholds=thresholds, batch_size=batch_size, mesh=mesh,
-    )
+    if predictor is not None:
+        pred = predictor
+    else:
+        # OOM-adaptive tile sizing (reference: prediction.py:773-794): try
+        # the requested tile; on device OOM at compile/first-dispatch time,
+        # halve the largest axis and retry instead of dying.
+        while True:
+            pred = DenseTilePredictor(
+                model, params, tile_shape=tile_shape, halo=halo, mode=mode,
+                thresholds=thresholds, batch_size=batch_size, mesh=mesh,
+            )
+            try:
+                warm = np.zeros((pred.batch_size,) + pred._in_shape[1:], np.uint8)
+                pred.fetch_raw(pred.dispatch(warm))
+                break
+            except Exception as e:
+                if not _is_oom(e):
+                    raise
+                shrunk = shrink_tile_shape(tile_shape, halo, pred.patch)
+                if shrunk is None:
+                    raise
+                tile_shape, halo = shrunk
+                log.warning(
+                    "device OOM at tile %s; retrying with tile %s halo %s",
+                    tuple(pred.tile_shape), tile_shape, halo,
+                )
     sh = src.mag_shape(mag)
     ts = np.asarray(tile_shape, np.int64)
     h = np.asarray(halo, np.int64)

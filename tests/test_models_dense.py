@@ -123,3 +123,48 @@ def test_predict_dense_to_kd(tmp_path, rng):
     assert pa.shape == (64, 64, 32)
     seg = ChunkedVolume.open(str(tmp_path / "seg_out")).load_seg(size=(64, 64, 32))
     assert set(np.unique(seg)) <= {0, 1, 2}
+
+
+def test_oom_adaptive_tile_shrink(tmp_path, rng, monkeypatch):
+    """predict_dense_to_kd degrades tile size on device OOM instead of
+    dying (reference prediction.py:773-794)."""
+    from syconn_tpu.inference import dense as dense_mod
+    from syconn_tpu.inference.dense import predict_dense_to_kd, shrink_tile_shape
+    from syconn_tpu.io.chunked import ChunkedVolume
+    from syconn_tpu.models.io import init_model_params
+    from syconn_tpu.models.unet3d import UNet3D
+
+    # pure shrink policy
+    ts, h = shrink_tile_shape((64, 64, 32), (8, 8, 8), (2, 2, 2))
+    assert ts == (32, 64, 32) and h[0] <= 8
+    assert shrink_tile_shape((2, 2, 2), (0, 0, 0), (2, 2, 2)) is None
+
+    src_p = str(tmp_path / "src")
+    vol = rng.integers(0, 255, (64, 64, 32), dtype=np.uint8)
+    ChunkedVolume.create(src_p, scale=(10, 10, 20), boundary=vol.shape,
+                         chunk_shape=(32, 32, 32)).save_raw(vol)
+    model = UNet3D(features=(16, 32), strides=((2, 2, 2),), patch=(2, 2, 2), n_classes=3)
+    params = init_model_params(model, (1, 32, 32, 32, 1))
+
+    # first predictor build OOMs once; the retry must run at halved tiles
+    real_dispatch = dense_mod.DenseTilePredictor.dispatch
+    state = {"failed": False, "tiles": []}
+
+    def flaky_dispatch(self, x):
+        state["tiles"].append(tuple(self.tile_shape))
+        if not state["failed"] and tuple(self.tile_shape) == (64, 64, 32):
+            state["failed"] = True
+            raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory while trying to allocate")
+        return real_dispatch(self, x)
+
+    monkeypatch.setattr(dense_mod.DenseTilePredictor, "dispatch", flaky_dispatch)
+    stats = predict_dense_to_kd(
+        src_p, target_paths={"a": str(tmp_path / "a")}, model=model, params=params,
+        channel_mapping={"a": 1}, tile_shape=(64, 64, 32), halo=(8, 8, 8),
+        target_mags=(1,),
+    )
+    assert state["failed"]
+    assert stats["n_voxels"] == 64 * 64 * 32
+    assert (32, 64, 32) in state["tiles"]  # shrunk tile actually used
+    out = ChunkedVolume.open(str(tmp_path / "a")).load_raw(size=vol.shape)
+    assert out.shape == vol.shape
