@@ -113,6 +113,24 @@ def _segment_chunk(prob, thresh, struct, pre_ops, n_trailing_ero, struct_shape, 
     return mask, eroded
 
 
+@partial(jax.jit, static_argnames=("pre_ops", "n_trailing_ero", "struct_shape", "sigma"))
+def _segment_chunk_packed(prob, thresh, struct, pre_ops, n_trailing_ero, struct_shape, sigma):
+    """Like _segment_chunk but returns (mask | eroded << 1) packed 4
+    voxels/byte along z — 8x fewer device->host bytes than two bool
+    arrays, which dominates on transfer-bound (relay) attachments."""
+    mask, eroded = _segment_chunk(
+        prob, thresh, struct, pre_ops, n_trailing_ero, struct_shape, sigma
+    )
+    two = mask.astype(jnp.uint8) | (eroded.astype(jnp.uint8) << 1)
+    sx, sy, sz = two.shape
+    pad = (-sz) % 4
+    if pad:
+        two = jnp.pad(two, ((0, 0), (0, 0), (0, pad)))
+    two = two.reshape(sx, sy, (sz + pad) // 4, 4)
+    w = jnp.asarray([1, 4, 16, 64], jnp.uint8)
+    return jnp.sum(two * w, axis=-1, dtype=jnp.uint8)
+
+
 def segment_chunk_device(
     prob: np.ndarray,
     thresh_uint8: float,
@@ -122,7 +140,8 @@ def segment_chunk_device(
 ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Device half of the object-segmentation chunk worker: blur + threshold
     + morphology chain; returns (mask, eroded_seed_mask, n_trailing_ero).
-    Connected components / watershed stay on host (ops/cc.py)."""
+    Connected components / watershed stay on host (ops/cc.py). The
+    device->host transfer is 2-bit packed (see _segment_chunk_packed)."""
     morph_ops = list(morph_ops or [])
     n_tr = 0
     for op in reversed(morph_ops):
@@ -131,13 +150,21 @@ def segment_chunk_device(
         else:
             break
     pre_ops = tuple(morph_ops[: len(morph_ops) - n_tr])
-    mask, eroded = _segment_chunk(
-        jnp.asarray(prob),
-        float(thresh_uint8),
-        jnp.asarray(np.asarray(struct, bool)),
-        pre_ops,
-        n_tr,
-        tuple(np.asarray(struct).shape),
-        float(sigma),
+    sz = prob.shape[2]
+    packed = np.asarray(
+        _segment_chunk_packed(
+            jnp.asarray(prob),
+            float(thresh_uint8),
+            jnp.asarray(np.asarray(struct, bool)),
+            pre_ops,
+            n_tr,
+            tuple(np.asarray(struct).shape),
+            float(sigma),
+        )
     )
-    return np.asarray(mask), np.asarray(eroded), n_tr
+    # host unpack: byte -> 4 two-bit codes along z
+    codes = np.stack(
+        [packed & 3, (packed >> 2) & 3, (packed >> 4) & 3, (packed >> 6) & 3],
+        axis=-1,
+    ).reshape(packed.shape[0], packed.shape[1], -1)[:, :, :sz]
+    return (codes & 1).astype(bool), (codes >> 1).astype(bool), n_tr

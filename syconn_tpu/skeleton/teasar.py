@@ -69,6 +69,43 @@ def _build_graph(mask: np.ndarray, scale: np.ndarray, penalty: np.ndarray):
     return g, coords
 
 
+def _teasar_native(mask, dbf, scale, inval_const, inval_scale, max_paths):
+    """Grid TEASAR in C++ (csrc/teasar.cpp — no materialized CSR graph,
+    the dominant cost of the pure-Python path). Returns None when the
+    native library is unavailable or capacities overflow (caller falls
+    back to the Python implementation)."""
+    from ..utils.native import get_native
+
+    lib = get_native()
+    if lib is None or not hasattr(lib, "teasar_grid"):
+        return None
+    m = np.ascontiguousarray(mask, np.uint8)
+    d = np.ascontiguousarray(dbf, np.float32)
+    node_cap = int(min(mask.size, 2_000_000))
+    edge_cap = node_cap
+    nodes = np.empty((node_cap, 3), np.int32)
+    edges = np.empty((edge_cap, 2), np.int32)
+    diam = np.empty(node_cap, np.float32)
+    n_nodes = np.zeros(1, np.int64)
+    n_edges = np.zeros(1, np.int64)
+    rc = lib.teasar_grid(
+        m, m.shape[0], m.shape[1], m.shape[2], d,
+        np.ascontiguousarray(scale, np.float64),
+        float(_PENALTY_K), int(_PENALTY_EXP),
+        float(inval_const), float(inval_scale), int(max_paths),
+        nodes.reshape(-1), node_cap, edges.reshape(-1), edge_cap, diam,
+        n_nodes, n_edges,
+    )
+    if rc != 0:
+        return None
+    k, e = int(n_nodes[0]), int(n_edges[0])
+    return {
+        "nodes": nodes[:k].astype(np.float32),
+        "edges": edges[:e].astype(np.int64).reshape(-1, 2),
+        "diameters": diam[:k].copy(),
+    }
+
+
 def teasar_skeleton(
     mask: np.ndarray,
     scale=(1.0, 1.0, 1.0),
@@ -94,6 +131,11 @@ def teasar_skeleton(
             "diameters": np.array([float(scale.min())], np.float32),
         }
     dbf = ndimage.distance_transform_edt(mask, sampling=scale)
+    native = _teasar_native(
+        mask, dbf, scale, invalidation_const_nm, invalidation_scale, max_paths
+    )
+    if native is not None:
+        return native
     m = float(dbf.max())
     penalty = _PENALTY_K * (1.0 - dbf / (1.01 * m)) ** _PENALTY_EXP
     g, coords = _build_graph(mask, scale, penalty)
@@ -171,11 +213,20 @@ def skeletonize_object(
         mask = mask[::downsample, ::downsample, ::downsample]
         scale = np.asarray(scale, np.float64) * downsample
     lab, n_cc = ndimage.label(mask, structure=np.ones((3, 3, 3), bool))
+    slices = ndimage.find_objects(lab)
     parts = []
     for c in range(1, n_cc + 1):
-        sub = lab == c
+        sl = slices[c - 1]
+        if sl is None:
+            continue
+        # crop to the component's bounding box: EDT/Dijkstra/invalidation
+        # cost scales with the box, not the cube
+        sub = lab[sl] == c
         sk = teasar_skeleton(sub, scale=scale, **kw)
         if sk is not None and len(sk["nodes"]):
+            sk["nodes"] = sk["nodes"] + np.array(
+                [s.start for s in sl], np.float32
+            )[None]
             parts.append(sk)
     if not parts:
         return None
@@ -206,14 +257,34 @@ def skeletonize_volume(
 ) -> Dict[int, Dict[str, np.ndarray]]:
     """Skeletonize every label in a volume; returns {id: skeleton}."""
     seg = np.asarray(seg)
-    uniq, counts = np.unique(seg, return_counts=True)
+    # compact relabel + C find_objects: per-id bounding boxes without a
+    # sort-based property scan (ids here are few SSVs per cube)
+    uniq = np.unique(seg)
+    compact = np.searchsorted(uniq, seg).astype(np.int32)
+    counts = np.bincount(compact.ravel(), minlength=len(uniq))
+    if uniq[0] != 0:  # find_objects treats label 0 as background
+        compact += 1
+    lab0 = 1 if uniq[0] != 0 else 0
+    slices = ndimage.find_objects(compact)
     out = {}
-    for oid, cnt in zip(uniq, counts):
-        if oid == 0 or cnt < dust_threshold_vx:
+    offset = np.asarray(offset, np.int64)
+    for k, oid in enumerate(uniq):
+        if oid == 0 or counts[k] < dust_threshold_vx:
             continue
         if obj_ids is not None and int(oid) not in obj_ids:
             continue
-        sk = skeletonize_object(seg == oid, offset=offset, scale=scale, downsample=downsample, **kw)
+        sl = slices[k + lab0 - 1]
+        if sl is None:
+            continue
+        # bounding-box crop: the == scan and all downstream work run on the
+        # object's extent, not the whole cube
+        sk = skeletonize_object(
+            seg[sl] == oid,
+            offset=offset + np.array([s.start for s in sl], np.int64),
+            scale=scale,
+            downsample=downsample,
+            **kw,
+        )
         if sk is not None:
             out[int(oid)] = sk
     return out

@@ -20,6 +20,7 @@ log = logging.getLogger("syconn_tpu.native")
 
 _CSRC_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "csrc")
 _SRC = os.path.join(_CSRC_DIR, "kernels.cpp")
+_SRC_TEASAR = os.path.join(_CSRC_DIR, "teasar.cpp")
 _LIB = os.path.join(_CSRC_DIR, "libsyconn_kernels.so")
 
 _lib: Optional[ctypes.CDLL] = None
@@ -40,6 +41,7 @@ def _build() -> bool:
         "-fopenmp",
         "-march=native",
         _SRC,
+        _SRC_TEASAR,
         "-o",
         _LIB,
     ]
@@ -62,7 +64,9 @@ def get_native() -> Optional[ctypes.CDLL]:
     with _build_lock:
         if _lib is not None:
             return _lib
-        needs_build = not os.path.isfile(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+        needs_build = not os.path.isfile(_LIB) or os.path.getmtime(_LIB) < max(
+            os.path.getmtime(_SRC), os.path.getmtime(_SRC_TEASAR)
+        )
         if needs_build and not _build():
             _build_failed = True
             return None
@@ -78,6 +82,16 @@ def get_native() -> Optional[ctypes.CDLL]:
         ]
         lib.relabel_u64.argtypes = [u64p, _i64, u64p, u64p, _i64, _i32]
         lib.relabel_u32.argtypes = [u32p, _i64, u32p, u32p, _i64, _i32]
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.teasar_grid.argtypes = [
+            u8p, _i64, _i64, _i64, f32p, f64p,
+            ctypes.c_double, _i32, ctypes.c_double, ctypes.c_double, _i64,
+            i32p, _i64, i32p, _i64, f32p, i64p, i64p,
+        ]
+        lib.teasar_grid.restype = _i32
         for fn in (
             lib.detect_seg_boundaries_u32,
             lib.detect_seg_boundaries_u64,
