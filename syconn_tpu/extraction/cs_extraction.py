@@ -123,6 +123,13 @@ def extract_contact_sites(
         """Host post-processing after contact detection (threads)."""
         off = np.array(cix) * cs
         size = np.minimum(cs, sh - off)
+        if not cs_seg.any():
+            # no contact sites in this chunk: skip sj/sym/asym loads and
+            # the morphology entirely; write the (trivial) label chunks
+            empty = ({}, {}, {})
+            cs_kd.save_seg(cs_seg, offset=off, mags=(mag,), data_mag=mag)
+            syn_kd.save_seg(cs_seg, offset=off, mags=(mag,), data_mag=mag)
+            return off, empty, ({}, {}, {}), {}, {}, {}
         # close + dilate each contact site into background only
         n_close = int(np.max(stencil // 2))
         if n_close > 0:

@@ -125,15 +125,26 @@ def init_model_params(model, example_shape, seed: int = 0):
     return model.init(rng, x)["params"]
 
 
+def packaged_model_path(name: str) -> str:
+    """Path of a weight set shipped with the package (models/pretrained/)."""
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "pretrained", name)
+
+
 def get_or_init_model(path: str, builder: Callable[[], Tuple[Any, tuple]], seed: int = 0):
     """Load a model dir, or initialize one (fixed seed) and persist it.
 
-    ``builder`` returns ``(model, example_input_shape)``. Freshly initialized
-    models let the pipeline run end-to-end before task-specific training
-    (models/train.py) has produced real weights.
+    Resolution order: working-dir model -> packaged pretrained weights of
+    the same name (models/pretrained/, trained on the synthetic world on a
+    TPU) -> fresh initialization. ``builder`` returns
+    ``(model, example_input_shape)``; freshly initialized models let the
+    pipeline run end-to-end before task-specific training has produced
+    real weights.
     """
     if model_exists(path):
         return load_model(path)
+    packaged = packaged_model_path(os.path.basename(os.path.normpath(path)))
+    if model_exists(packaged):
+        return load_model(packaged)
     model, example_shape = builder()
     params = init_model_params(model, example_shape, seed=seed)
     save_model(path, model, params, extra_meta={"initialized_only": True, "seed": seed})

@@ -73,19 +73,19 @@ def multi_mop_backgroundonly(
     support) so cost scales with object size, not volume size.
     """
     seg = np.asarray(seg)
+    nz = seg != 0
+    if not nz.any():  # typical for sparse objects (e.g. contact sites)
+        return seg.copy()
     out = seg.copy()
-    # compact labels for find_objects
-    uniq, inv = np.unique(seg, return_inverse=True)
-    compact = inv.reshape(seg.shape).astype(np.int64)
-    if uniq[0] != 0:
-        compact += 1
-        uniq = np.concatenate([[0], uniq])
+    # compact labels for find_objects; unique over the nonzero voxels only
+    # (a full-volume return_inverse argsort dominated the synapse step)
+    uniq = np.unique(seg[nz])
+    compact = (np.searchsorted(uniq, seg) + 1).astype(np.int32)
+    compact[~nz] = 0
     slices = ndimage.find_objects(compact)
     pad = iterations * (max(struct.shape) // 2 if struct is not None else 1) + 1
     for k, lab in enumerate(uniq):
-        if lab == 0:
-            continue
-        sl = slices[k - 1]
+        sl = slices[k]
         if sl is None:
             continue
         psl = tuple(

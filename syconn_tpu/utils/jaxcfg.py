@@ -89,7 +89,8 @@ def use_device_kernels() -> bool:
 
     Priority: env SYCONN_TPU_DEVICE_KERNELS (0/1) > config
     ``tpu.use_device_kernels`` (true/false/'auto') > auto (accelerator
-    attached)."""
+    attached AND the measured device downlink can carry the chunk results
+    — relay attachments fluctuate 2-400 MB/s, see utils/linkprobe)."""
     env = os.environ.get("SYCONN_TPU_DEVICE_KERNELS")
     if env is not None:
         return env == "1"
@@ -101,4 +102,8 @@ def use_device_kernels() -> bool:
         v = "auto"
     if isinstance(v, bool):
         return v
-    return device_is_accelerator()
+    if not device_is_accelerator():
+        return False
+    from .linkprobe import downlink_mbps
+
+    return downlink_mbps() >= 15.0
