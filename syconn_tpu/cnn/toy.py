@@ -77,7 +77,11 @@ def train_toy_dense_models(
 
         lab_vol = label_vols[task]
         freqs = np.bincount(lab_vol.reshape(-1), minlength=model.n_classes) + 1
-        weights = freqs.sum() / freqs  # full inverse frequency
+        # tempered inverse frequency: full 1/f weights (organelles are
+        # ~0.1-3% of the volume) push argmax to near-total recall at ~3%
+        # precision; sqrt + cap keeps the decision boundary useful
+        weights = np.sqrt(freqs.sum() / freqs)
+        weights = np.minimum(weights / weights.min(), 16.0)
         weights = weights / weights.mean()
         step_fn = make_train_step(loss_fn=weighted_xent(weights))
         acc = 0.0

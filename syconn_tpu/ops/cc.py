@@ -31,8 +31,24 @@ __all__ = [
 CHUNK_LABEL_STRIDE = np.uint64(1 << 24)
 
 
-def connected_components(mask: np.ndarray) -> Tuple[np.ndarray, int]:
-    """6-connected components of a binary mask; labels 1..n."""
+def connected_components(mask: np.ndarray, device: str = "auto") -> Tuple[np.ndarray, int]:
+    """6-connected components of a binary mask; labels 1..n in
+    first-occurrence order (scipy semantics).
+
+    ``device``: "auto" uses the XLA relabel-min/pointer-jumping kernel
+    (ops/cc_jax.py) when the device-kernel dispatch is enabled AND the
+    measured link can carry the 1 B up / 4 B down per voxel
+    (utils/jaxcfg.use_device_kernels gates on utils/linkprobe); host scipy
+    otherwise. True/False force a side.
+    """
+    if device == "auto":
+        from ..utils.jaxcfg import use_device_kernels
+
+        device = use_device_kernels()
+    if device:
+        from .cc_jax import connected_components_tpu
+
+        return connected_components_tpu(mask)
     lab, n = ndimage.label(np.asarray(mask), structure=ndimage.generate_binary_structure(3, 1))
     return lab.astype(np.uint32), int(n)
 

@@ -154,3 +154,38 @@ def test_cs_dispatcher_pallas_path():
     host = detect_cs(seg)
     d = CsDispatcher(tile=(16, 16, 8), K=8, kernel="pallas")
     assert np.array_equal(host, d.fetch(d.dispatch(seg)))
+
+
+def test_connected_components_device_golden(rng):
+    """Device CC (relabel-min + pointer jumping) == scipy label, including
+    first-occurrence numbering, on random and adversarial masks."""
+    from syconn_tpu.ops.cc import connected_components
+    from syconn_tpu.ops.cc_jax import connected_components_tpu
+
+    def check(mask):
+        lab_s, n_s = connected_components(mask, device=False)
+        lab_d, n_d = connected_components_tpu(mask)
+        assert n_s == n_d
+        assert np.array_equal(lab_s, lab_d)
+
+    # random sparse + dense masks
+    for p in (0.05, 0.3, 0.6, 0.9):
+        check(rng.random((24, 20, 16)) < p)
+    # adversarial: serpentine corridor (worst case for pure propagation)
+    m = np.zeros((32, 32, 4), bool)
+    for i in range(0, 32, 2):
+        m[i, :, :] = True
+        if (i // 2) % 2 == 0:
+            m[i + 1, -1, :] = True
+        elif i + 1 < 32:
+            m[i + 1, 0, :] = True
+    check(m)
+    # two voxel-thin diagonally-adjacent lines (6-conn must NOT merge)
+    m = np.zeros((10, 10, 10), bool)
+    m[2, 2, :] = True
+    m[3, 3, :] = True
+    lab, n = connected_components_tpu(m)
+    assert n == 2
+    # empty + full
+    check(np.zeros((8, 8, 8), bool))
+    check(np.ones((8, 8, 8), bool))
