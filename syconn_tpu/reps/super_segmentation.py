@@ -369,6 +369,73 @@ class SuperSegmentationObject(SegmentationBase):
 
         return syn_sign_ratio_celltype(self, **kw)
 
+    def get_spine_compartments(
+        self,
+        semseg_key: str = "spiness",
+        k: int = 1,
+        min_spine_cc_size: Optional[int] = None,
+        dest_folder: Optional[str] = None,
+    ):
+        """Connected components of the vertex spine predictions
+        (reference: super_segmentation_object.py:2242): vertices are linked
+        within ``min_edge_dist_spine_graph`` nm, edges between differently
+        labeled vertices are cut, and the surviving same-label components
+        (>= ``min_spine_cc_size`` vertices) yield per-spine locations.
+
+        Returns (neck_coords_vx, neck_sizes, head_coords_vx, head_sizes).
+        """
+        from scipy import sparse, spatial
+        from scipy.sparse.csgraph import connected_components as _cc
+
+        cfg = self.config
+        if min_spine_cc_size is None:
+            min_spine_cc_size = int(cfg["spines"]["min_spine_cc_size"])
+        max_dist = float(cfg["spines"]["min_edge_dist_spine_graph"])
+        labels = np.asarray(
+            self.lookup_in_attribute_dict(f"{semseg_key}_vertex_labels", [])
+        )
+        mesh = self.load_mesh("sv")
+        verts = np.asarray(mesh[1], np.float64).reshape(-1, 3)
+        empty = (np.zeros((0, 3), np.uint64), np.zeros(0, np.int64))
+        if len(verts) == 0 or len(labels) != len(verts):
+            return empty[0], empty[1], empty[0].copy(), empty[1].copy()
+        # same-label proximity graph -> sparse CC (no per-edge python loop)
+        tree = spatial.cKDTree(verts)
+        pairs = tree.query_pairs(max_dist, output_type="ndarray")
+        if len(pairs):
+            same = labels[pairs[:, 0]] == labels[pairs[:, 1]]
+            pairs = pairs[same]
+        n = len(verts)
+        g = sparse.coo_matrix(
+            (np.ones(len(pairs), np.int8), (pairs[:, 0], pairs[:, 1])), shape=(n, n)
+        )
+        n_cc, cc = _cc(g.tocsr(), directed=False)
+        sizes = np.bincount(cc, minlength=n_cc)
+        scale = np.asarray(self.scaling, np.float64)
+        out = {0: ([], []), 1: ([], [])}  # neck, head
+        for c in np.flatnonzero(sizes >= min_spine_cc_size):
+            sel = cc == c
+            lab = int(labels[np.flatnonzero(sel)[0]])
+            if lab not in out:
+                continue
+            out[lab][0].append(verts[sel].mean(axis=0) / scale)
+            out[lab][1].append(int(sel.sum()))
+        neck_c = np.asarray(out[0][0], np.float64).reshape(-1, 3).astype(np.uint64)
+        head_c = np.asarray(out[1][0], np.float64).reshape(-1, 3).astype(np.uint64)
+        neck_s = np.asarray(out[0][1], np.int64)
+        head_s = np.asarray(out[1][1], np.int64)
+        if dest_folder is not None:
+            os.makedirs(dest_folder, exist_ok=True)
+            np.save(
+                f"{dest_folder}/neck_coords_ssv{self.id}_k{k}_{semseg_key}_"
+                f"ccsize{min_spine_cc_size}.npy", neck_c,
+            )
+            np.save(
+                f"{dest_folder}/head_coords_ssv{self.id}_k{k}_{semseg_key}_"
+                f"ccsize{min_spine_cc_size}.npy", head_c,
+            )
+        return neck_c, neck_s, head_c, head_s
+
     def gliasplit(self, glia_thresh: Optional[float] = None):
         """Partition this cell's SV graph into neuron/astrocyte parts by the
         SVs' glia probabilities (reference: super_segmentation_object.py:2746).

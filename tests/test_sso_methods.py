@@ -113,3 +113,33 @@ def test_gliasplit_method(sso_world):
     neuron, glia = ssv.gliasplit()
     assert len(neuron) == len(ssv.sv_ids)
     assert len(glia) == 0
+
+
+def test_get_spine_compartments(sso_world):
+    """Spine CCs from vertex labels (reference sso:2242): a labeled patch
+    of head vertices yields one head component at the right location."""
+    import numpy as np
+
+    ssd = sso_world
+    ssv = ssd.get_super_segmentation_object(int(ssd.ssv_ids[0]))
+    mesh = ssv.load_mesh("sv")
+    verts = np.asarray(mesh[1]).reshape(-1, 3)
+    labels = np.full(len(verts), 2, np.int32)  # shaft everywhere
+    # head patch: all vertices near the first vertex
+    d = np.linalg.norm(verts - verts[0][None], axis=1)
+    head_sel = d < 400
+    labels[head_sel] = 1
+    neck_sel = (d >= 400) & (d < 700)
+    labels[neck_sel] = 0
+    ssv.load_attr_dict()
+    ssv.attr_dict["spiness_vertex_labels"] = labels
+    ssv.save_attr_dict()
+    neck_c, neck_s, head_c, head_s = ssv.get_spine_compartments(min_spine_cc_size=5)
+    assert len(head_c) >= 1 and head_s.max() >= 5
+    # the head location is inside the labeled patch's bounding region
+    scale = np.asarray(ssv.scaling, np.float64)
+    hc_nm = head_c.astype(np.float64) * scale
+    assert np.linalg.norm(hc_nm[0] - verts[head_sel].mean(axis=0)) < 1e3
+    if len(neck_c):
+        nc_nm = neck_c.astype(np.float64) * scale
+        assert np.all(np.linalg.norm(nc_nm - verts[0][None], axis=1) >= 200)
