@@ -486,11 +486,75 @@ class SuperSegmentationObject(SegmentationBase):
             raise ValueError("No skeleton available.")
         _to_kzip(self.skeleton, path or self.skeleton_kzip_path, scaling=self.scaling)
 
-    def mesh2kzip(self, path: str, obj_type: str = "sv"):
+    def mesh2kzip(self, path: str, obj_type: str = "sv", color=None):
+        """(reference: super_segmentation_object.py:2392)"""
         from ..proc.meshes import write_mesh2kzip
 
         m = self.load_mesh(obj_type)
-        write_mesh2kzip(path, m[0], m[1], m[2] if len(m) > 2 else None, None, f"{obj_type}.ply")
+        write_mesh2kzip(path, m[0], m[1], m[2] if len(m) > 2 else None, color, f"{obj_type}.ply")
+
+    def meshes2kzip(self, path: str, obj_types=("sv", "mi", "vc", "syn_ssv")):
+        """All object meshes into one archive, one PLY per type
+        (reference: super_segmentation_object.py:2444)."""
+        for ot in obj_types:
+            try:
+                m = self.load_mesh(ot)
+            except Exception:
+                continue
+            if m is None or len(m[1]) == 0:
+                continue
+            self.mesh2kzip(path, obj_type=ot)
+        return path
+
+    def export2kzip(self, path: str, obj_types=("sv", "mi", "vc", "syn_ssv")):
+        """Full standalone cell bundle: meshes + skeleton + attributes +
+        sample locations (reference: super_segmentation_object.py:2492);
+        re-importable via proc/ssd_assembly.init_sso_from_kzip."""
+        from ..proc.ssd_assembly import save_sso_to_kzip
+
+        return save_sso_to_kzip(self, path, mesh_types=obj_types)
+
+    def mergelist2kzip(self, path: Optional[str] = None):
+        """KNOSSOS mergelist of this cell's supervoxels
+        (reference: super_segmentation_object.py:2384)."""
+        from ..handler.basics import write_txt2kzip
+        from .rep_helper import knossos_ml_from_sso
+
+        path = path or self.skeleton_kzip_path
+        write_txt2kzip(path, knossos_ml_from_sso(self), "mergelist.txt")
+        return path
+
+    def write_locations2kzip(self, path: Optional[str] = None):
+        """Rendering sample locations as a KNOSSOS skeleton annotation
+        (reference: super_segmentation_object.py:2374)."""
+        from ..handler.basics import write_txt2kzip
+        from ..skeleton.io import skeleton_to_nml
+
+        locs = np.concatenate(self.sample_locations())
+        scale = np.asarray(self.scaling, np.float64)
+        skel = {
+            "nodes": locs / scale[None],
+            "edges": np.zeros((0, 2), np.int64),
+            "diameters": np.full(len(locs), 10.0, np.float32),
+        }
+        path = path or self.skeleton_kzip_path
+        write_txt2kzip(path, skeleton_to_nml(skel, comment=f"locations ssv {self.id}"),
+                       "sample_locations.nml")
+        return path
+
+    def write_svmeshes2kzip(self, path: Optional[str] = None):
+        """Each supervoxel's mesh as its own PLY
+        (reference: super_segmentation_object.py:2629)."""
+        from ..proc.meshes import write_mesh2kzip
+
+        path = path or self.skeleton_kzip_path
+        for sv in self.svs:
+            m = sv.mesh
+            if m is None or len(m[1]) == 0:
+                continue
+            write_mesh2kzip(path, m[0], m[1], m[2] if len(m) > 2 else None,
+                            None, f"sv_{sv.id}.ply")
+        return path
 
     def __repr__(self):
         return f"SuperSegmentationObject(id={self.id}, version={self.version})"

@@ -143,3 +143,37 @@ def test_get_spine_compartments(sso_world):
     if len(neck_c):
         nc_nm = neck_c.astype(np.float64) * scale
         assert np.all(np.linalg.norm(nc_nm - verts[0][None], axis=1) >= 200)
+
+
+def test_kzip_exporters(sso_world, tmp_path):
+    """SSO kzip export surface (reference sso:2357-2660): meshes2kzip,
+    export2kzip round-trip, mergelist, locations, per-SV meshes."""
+    import zipfile
+
+    import numpy as np
+
+    ssd = sso_world
+    ssv = ssd.get_super_segmentation_object(int(ssd.ssv_ids[0]))
+    ssv.load_skeleton()
+
+    p = str(tmp_path / "all.k.zip")
+    ssv.meshes2kzip(p, obj_types=("sv",))
+    ssv.mergelist2kzip(p)
+    ssv.write_locations2kzip(p)
+    ssv.write_svmeshes2kzip(p)
+    with zipfile.ZipFile(p) as zf:
+        names = zf.namelist()
+        assert "sv.ply" in names and "mergelist.txt" in names
+        assert "sample_locations.nml" in names
+        assert any(n.startswith("sv_") and n.endswith(".ply") for n in names)
+        ml = zf.read("mergelist.txt").decode()
+        for sv_id in ssv.sv_ids:
+            assert str(int(sv_id)) in ml
+
+    p2 = str(tmp_path / "bundle.k.zip")
+    ssv.export2kzip(p2, obj_types=("sv",))
+    from syconn_tpu.proc.ssd_assembly import init_sso_from_kzip
+
+    back = init_sso_from_kzip(p2)
+    assert back.id == ssv.id
+    assert np.array_equal(back.load_mesh("sv")[1], ssv.load_mesh("sv")[1])
