@@ -44,6 +44,17 @@ def main():
                         help="comma-separated cell organelles to process "
                              "(subset of mi,vc,er,golgi; sj is always used "
                              "for synapses)")
+    parser.add_argument("--world", type=str, default="voronoi",
+                        choices=("voronoi", "neuron"),
+                        help="synthetic world flavor: 'voronoi' (dense cell "
+                             "packing, throughput benchmarks) or 'neuron' "
+                             "(tubular morphology with celltype/compartment/"
+                             "spine/myelin ground truth for quality checks)")
+    parser.add_argument("--predict_organelles", action="store_true",
+                        help="produce the mi/vc/sj probability maps by dense "
+                             "model inference on the raw volume (packaged or "
+                             "working-dir weights) instead of copying the "
+                             "generator's ground-truth maps")
     parser.add_argument("--shard_pipeline", action="store_true",
                         help="run the hot pipeline steps sharded over ALL "
                              "attached devices (object extraction, contact "
@@ -54,6 +65,16 @@ def main():
 
     organelles = [o.strip() for o in args.organelles.split(",") if o.strip()]
     assert set(organelles) <= {"mi", "vc", "er", "golgi"}, organelles
+
+    # a wedged device relay hangs the first in-process jax call forever;
+    # probe in a subprocess and fall back to the CPU backend so the
+    # pipeline degrades instead of deadlocking (utils/linkprobe.py)
+    if not os.environ.get("SYCONN_TPU_PLATFORM"):
+        from syconn_tpu.utils.linkprobe import backend_alive
+
+        if not backend_alive():
+            print("WARNING: accelerator backend unreachable - forcing CPU")
+            os.environ["SYCONN_TPU_PLATFORM"] = "cpu"
     wd = args.working_dir or os.path.expanduser("~/syconn_tpu_example/")
     scale = np.array([10, 10, 20])
     chunk_size = (128, 128, 64)
@@ -99,18 +120,57 @@ def main():
     from syconn_tpu.io.graph import save_svgraph
     from syconn_tpu.utils.testdata import generate_toy_world
 
+    def make_world():
+        if args.world == "neuron":
+            from syconn_tpu.utils.testdata_neuro import generate_neuron_world
+
+            return generate_neuron_world(shape=tuple(args.shape),
+                                         n_cells=args.n_cells, seed=args.seed)
+        return generate_toy_world(shape=tuple(args.shape),
+                                  n_cells=args.n_cells, seed=args.seed)
+
     world = None
     if args.overwrite or not os.path.isdir(cfg.kd_seg_path):
-        world = generate_toy_world(shape=tuple(args.shape), n_cells=args.n_cells, seed=args.seed)
+        world = make_world()
         kd = ChunkedVolume.create(cfg.kd_seg_path, scale=scale, boundary=world["seg"].shape,
                                   chunk_shape=chunk_size)
         kd.save_raw(world["raw"], mags=[1, 2, 4])
         kd.save_seg(world["seg"], mags=[1, 2])
+        predicted_cos = {"mi", "vc", "sj"} if args.predict_organelles else set()
         for co in organelles + ["sj", "sym", "asym"]:
+            if co in predicted_cos:
+                continue
             cv = ChunkedVolume.create(getattr(cfg, f"kd_{co}_path"), scale=scale,
                                       boundary=world["seg"].shape, chunk_shape=chunk_size)
             cv.save_raw(world[co], mags=[1, 2])
         save_svgraph(world["rag"], cfg.init_svgraph_path)
+        if args.world == "neuron":
+            # persist the construction ground truth for quality scoring
+            sv_ids = np.asarray(sorted(world["sv2cell"]), np.uint64)
+            np.savez_compressed(
+                os.path.join(wd, "neuron_gt.npz"),
+                celltype_gt=world["celltype_gt"],
+                compart=world["compart"],
+                spiness=world["spiness"],
+                myelin=world["myelin"],
+                sv_ids=sv_ids,
+                sv_cells=np.asarray([world["sv2cell"][int(s)] for s in sv_ids],
+                                    np.int64),
+                syn_coords=np.asarray([s["coord_vx"] for s in world["syn_gt"]],
+                                      np.float64).reshape(-1, 3),
+                syn_pre=np.asarray([s["pre_cell"] for s in world["syn_gt"]], np.int64),
+                syn_post=np.asarray([s["post_cell"] for s in world["syn_gt"]], np.int64),
+                syn_sign=np.asarray([1 if s["sign"] == "asym" else -1
+                                     for s in world["syn_gt"]], np.int8),
+                syn_on_spine=np.asarray([s["on_spine"] for s in world["syn_gt"]], bool),
+                syn_head_vol=np.asarray([s["head_vol_vx"] for s in world["syn_gt"]],
+                                        np.float64),
+            )
+    if args.predict_organelles:
+        from syconn_tpu.exec import exec_dense_prediction as _edp
+
+        log.info("Predicting mi/vc/sj probability maps from raw (dense model)")
+        _edp.predict_cellorganelles(mag=1)
     ftimer.stop()
 
     if args.train_models:

@@ -55,8 +55,10 @@ def train_toy_dense_models(
         lab[world["sj"] > 0] = 3
         label_vols["organelles"] = lab
     if "myelin" in tasks:
-        # toy proxy: dark membrane voxels of large cells count as myelin
-        lab = ((world["cells"] == 0) & (raw < 90)).astype(np.int32)
+        if "myelin" in world:  # neuron world: real sheath ground truth
+            lab = (world["myelin"] > 0).astype(np.int32)
+        else:  # Voronoi toy proxy: dark membrane voxels count as myelin
+            lab = ((world["cells"] == 0) & (raw < 90)).astype(np.int32)
         label_vols["myelin"] = lab
     if "syntype" in tasks:
         lab = np.zeros(raw.shape, np.int32)
@@ -76,17 +78,29 @@ def train_toy_dense_models(
         from ..models.train import weighted_xent
 
         lab_vol = label_vols[task]
-        freqs = np.bincount(lab_vol.reshape(-1), minlength=model.n_classes) + 1
-        # tempered inverse frequency: full 1/f weights (organelles are
-        # ~0.1-3% of the volume) push argmax to near-total recall at ~3%
-        # precision; sqrt + cap keeps the decision boundary useful
-        weights = np.sqrt(freqs.sum() / freqs)
-        weights = np.minimum(weights / weights.min(), 8.0)
-        weights = weights / weights.mean()
         # foreground-centered tiles half the time: rare classes (mito is
         # ~0.05% of the volume) otherwise appear in few tiles and the
         # decision boundary is shaped by the class weights alone
         fg_coords = np.argwhere(lab_vol > 0)
+        # class weights from the EFFECTIVE sampled distribution: with
+        # fg-centered oversampling the rare classes are already boosted in
+        # the batch stream, so weighting by the *global* volume frequency
+        # double-counts the correction and pushes precision to ~2%.
+        # Estimate the per-class frequency under the actual sampling policy
+        # and temper that (sqrt, cap 4).
+        freqs = np.ones(model.n_classes, np.float64)
+        for _ in range(256):
+            if len(fg_coords) and rng.random() < 0.5:
+                c = fg_coords[rng.integers(len(fg_coords))]
+                off = np.clip(c - np.asarray(tile) // 2, 0, hi)
+            else:
+                off = np.array([rng.integers(0, h) for h in hi])
+            sl = tuple(slice(o, o + t) for o, t in zip(off, tile))
+            freqs += np.bincount(lab_vol[sl].reshape(-1),
+                                 minlength=model.n_classes)
+        weights = np.sqrt(freqs.sum() / freqs)
+        weights = np.minimum(weights / weights.min(), 4.0)
+        weights = weights / weights.mean()
         step_fn = make_train_step(loss_fn=weighted_xent(weights))
         acc = 0.0
         for i in range(steps):

@@ -1,0 +1,343 @@
+"""Point-model training on the neuron-morphology synthetic world.
+
+The reference trains its point models (celltype, glia, compartments,
+triplet morphology embeddings — syconn/cnn/cnn_celltype_ptcnv.py,
+cnn_glia_ptcnv.py, cnn_semseg_ptcnv.py, cnn_tnet_ptcnv.py) on curated GT
+cells. Here the neuron world's construction IS the ground truth: cells are
+converted to the same labeled point clouds the deployment path consumes
+(``inference/points.py`` — surface + organelle + synapse points, one-hot
+typed, fixed-size contexts via the SAME ``extract_contexts``), and the
+per-cell / per-point labels come from the generator's celltype_gt and
+compart volumes.
+
+Training through the deployment code path keeps train/deploy consistent:
+identical context size, normalization and feature layout.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy import ndimage
+
+from .. import global_params
+
+log = logging.getLogger("syconn_tpu.toy_train_pts")
+
+__all__ = ["world2cloud", "train_toy_point_models", "eval_toy_point_models"]
+
+
+def world2cloud(
+    world: Dict, cid: int, max_per_type: int = 20_000,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Cell -> (coords_nm, type_index, compartment_label, spiness_label).
+
+    Mirrors ``inference.points.sso2pointcloud``'s channels (0 cell surface,
+    1 mi, 2 vc, 3 sj) but samples voxel masks instead of meshes. Surface
+    points carry the compart/spiness labels at their voxel; sj points get
+    -1 (undefined on the interface). Spiness follows the reference's 4-class
+    convention: non-dendrite points are class 3 "other".
+    """
+    if rng is None:
+        rng = np.random.default_rng(cid)
+    scale = np.asarray(world.get("scale", (10, 10, 20)), np.float64)
+    cells = world["cells"]
+    comp = world["compart"]
+    spin = world["spiness"]
+    cell = cells == cid
+    if not cell.any():
+        z = np.zeros((0, 3), np.float32)
+        zi = np.zeros(0, np.int32)
+        return z, zi, zi.copy(), zi.copy()
+    surface = cell & ~ndimage.binary_erosion(cell)
+    near_cell = ndimage.binary_dilation(cell, iterations=3)
+    masks = [
+        surface,
+        (world["mi"] > 0) & cell,
+        (world["vc"] > 0) & cell,
+        (world["sj"] > 0) & near_cell,
+    ]
+    coords, types, labels, slabels = [], [], [], []
+    for ti, m in enumerate(masks):
+        c = np.argwhere(m)
+        if len(c) == 0:
+            continue
+        if len(c) > max_per_type:
+            c = c[rng.choice(len(c), size=max_per_type, replace=False)]
+        coords.append(c.astype(np.float64) * scale[None])
+        types.append(np.full(len(c), ti, np.int32))
+        if ti == 3:
+            labels.append(np.full(len(c), -1, np.int32))
+            slabels.append(np.full(len(c), -1, np.int32))
+        else:
+            lv = comp[c[:, 0], c[:, 1], c[:, 2]].astype(np.int32)
+            labels.append(np.where(lv == 255, -1, lv))
+            sv = spin[c[:, 0], c[:, 1], c[:, 2]].astype(np.int32)
+            sv = np.where(sv == 255, 3, sv)  # non-dendrite -> "other"
+            slabels.append(np.where(lv == 255, -1, sv))
+    return (
+        np.concatenate(coords).astype(np.float32),
+        np.concatenate(types),
+        np.concatenate(labels),
+        np.concatenate(slabels),
+    )
+
+
+def _cell_contexts(world, cid, npoints, ctx_size_nm, n_contexts, rng,
+                   surface_only=False, label_kind="compart"):
+    """Contexts + per-point labels through the deployment extractor
+    (``inference.points.extract_contexts``). ``label_kind``: "compart",
+    "spiness", or "both" (returns (ctxs, comp_labels, spin_labels))."""
+    from ..inference.points import extract_contexts
+
+    coords, types, labels, slabels = world2cloud(world, cid, rng=rng)
+    if len(coords) == 0:
+        return (None, None, None) if label_kind == "both" else (None, None)
+    if surface_only:
+        sel = types == 0
+        coords, types = coords[sel], types[sel] * 0
+        labels, slabels = labels[sel], slabels[sel]
+    ctxs, idx_lists = extract_contexts(
+        coords, types, ctx_size_nm=ctx_size_nm, npoints=npoints,
+        n_contexts=n_contexts, rng=rng,
+    )
+    gather = lambda lab: (np.stack([lab[ixs] for ixs in idx_lists])
+                          if idx_lists else None)
+    if label_kind == "both":
+        return ctxs, gather(labels), gather(slabels)
+    return ctxs, gather(slabels if label_kind == "spiness" else labels)
+
+
+def train_toy_point_models(
+    worlds: Sequence[Dict],
+    tasks: Sequence[str] = ("celltype", "glia", "compartment", "spiness", "tnet"),
+    steps: int = 800,
+    npoints: int = 2048,
+    batch: int = 8,
+    learning_rate: float = 1e-3,
+    seed: int = 0,
+    log_cb=None,
+) -> Dict[str, float]:
+    """Train the point models on neuron worlds and persist them to the
+    working directory's ``mpath_*_pts`` model dirs. Returns final metrics."""
+    import jax.numpy as jnp
+
+    from ..models.io import save_model
+    from ..models.pointnet import PointClassNet, PointSegNet
+    from ..models.train import (
+        make_class_train_step,
+        make_train_step,
+        make_triplet_train_step,
+        make_train_state,
+    )
+
+    cfg = global_params.config
+    rng = np.random.default_rng(seed)
+    emit = log_cb or log.info
+
+    # ---- pre-extract per-cell context pools (the expensive host work)
+    # each entry: (ctxs, comp_labels, spin_labels, celltype, is_glia)
+    pools: List[Tuple[np.ndarray, np.ndarray, np.ndarray, int, bool]] = []
+    surf_pools: List[Tuple[np.ndarray, int]] = []  # surface-only (glia path)
+    for wi, world in enumerate(worlds):
+        ct = world["celltype_gt"]
+        for cid in range(1, len(ct)):
+            if not (world["cells"] == cid).any():
+                continue
+            r = np.random.default_rng(seed * 1000 + wi * 100 + cid)
+            ctxs, pls, sls = _cell_contexts(world, cid, npoints, 20_000.0, 8, r,
+                                            label_kind="both")
+            if ctxs is None or not len(ctxs):
+                continue
+            pools.append((ctxs, pls, sls, int(ct[cid]), ct[cid] == 3))
+            sctx, _ = _cell_contexts(world, cid, npoints, 15_000.0, 6, r,
+                                     surface_only=True)
+            if sctx is not None and len(sctx):
+                surf_pools.append((sctx, int(ct[cid] == 3)))
+    emit(f"[pts] context pools: {len(pools)} cells, "
+         f"{sum(len(p[0]) for p in pools)} contexts")
+
+    metrics: Dict[str, float] = {}
+
+    def batches_cls(pool, key):
+        while True:
+            xs, ys = [], []
+            for _ in range(batch):
+                ctxs, pls, sls, ct_i, is_g = pool[rng.integers(len(pool))]
+                j = rng.integers(len(ctxs))
+                xs.append(ctxs[j])
+                ys.append(ct_i if key == "celltype" else int(is_g))
+            yield np.stack(xs), np.asarray(ys, np.int32)
+
+    # --------------------------------------------------------- celltype
+    if "celltype" in tasks:
+        model = PointClassNet(n_classes=8)
+        state = make_train_state(model, (1, npoints, 7), learning_rate=learning_rate)
+        step_fn = make_class_train_step(dict_output=True)
+        gen = batches_cls(pools, "celltype")
+        acc = 0.0
+        for i in range(steps):
+            x, y = next(gen)
+            state, m = step_fn(state, jnp.asarray(x), jnp.asarray(y))
+            if (i + 1) % 50 == 0:
+                acc = float(m["acc"])
+                emit(f"[celltype_pts] step {i + 1}/{steps} acc {acc:.3f}")
+        save_model(cfg.mpath_celltype_pts, model, state.params,
+                   extra_meta={"task": "celltype_pts", "toy_steps": steps})
+        metrics["celltype"] = acc
+
+    # ------------------------------------------------------------- glia
+    if "glia" in tasks:
+        model = PointSegNet(n_classes=2)
+        state = make_train_state(model, (1, npoints, 7), learning_rate=learning_rate)
+        step_fn = make_train_step()
+        acc = 0.0
+        for i in range(steps):
+            xs, ys = [], []
+            for _ in range(batch):
+                sctx, is_g = surf_pools[rng.integers(len(surf_pools))]
+                j = rng.integers(len(sctx))
+                xs.append(sctx[j])
+                ys.append(np.full(npoints, is_g, np.int32))
+            state, m = step_fn(state, jnp.asarray(np.stack(xs)),
+                               jnp.asarray(np.stack(ys)))
+            if (i + 1) % 50 == 0:
+                acc = float(m["acc"])
+                emit(f"[glia_pts] step {i + 1}/{steps} acc {acc:.3f}")
+        save_model(cfg.mpath_glia_pts, model, state.params,
+                   extra_meta={"task": "glia_pts", "toy_steps": steps})
+        metrics["glia"] = acc
+
+    # --------------------------------------- compartment + spiness semseg
+    for task, n_cls, lab_ix, mpath in (
+        ("compartment", 3, 1, cfg.mpath_compartment_pts),
+        ("spiness", 4, 2, cfg.mpath_spiness),
+    ):
+        if task not in tasks:
+            continue
+        model = PointSegNet(n_classes=n_cls)
+        state = make_train_state(model, (1, npoints, 7), learning_rate=learning_rate)
+        step_fn = make_train_step()
+        acc = 0.0
+        for i in range(steps):
+            xs, ys = [], []
+            for _ in range(batch):
+                entry = pools[rng.integers(len(pools))]
+                ctxs = entry[0]
+                j = rng.integers(len(ctxs))
+                xs.append(ctxs[j])
+                ys.append(entry[lab_ix][j])
+            state, m = step_fn(state, jnp.asarray(np.stack(xs)),
+                               jnp.asarray(np.stack(ys).astype(np.int32)))
+            if (i + 1) % 50 == 0:
+                acc = float(m["acc"])
+                emit(f"[{task}_pts] step {i + 1}/{steps} acc {acc:.3f}")
+        save_model(mpath, model, state.params,
+                   extra_meta={"task": f"{task}_pts", "toy_steps": steps})
+        metrics[task] = acc
+
+    # ------------------------------------------------------------- tnet
+    if "tnet" in tasks:
+        ndim = int(cfg["tcmn"]["ndim_embedding"])
+        model = PointClassNet(n_classes=2, embed_dim=ndim)
+        state = make_train_state(model, (1, npoints, 7), learning_rate=learning_rate)
+        step_fn = make_triplet_train_step()
+        lossv = 0.0
+        for i in range(steps):
+            xa, xp, xn = [], [], []
+            for _ in range(batch):
+                ia = rng.integers(len(pools))
+                ctxa = pools[ia][0]
+                # (pools entries are (ctxs, comp, spin, ct, is_glia))
+                j1, j2 = rng.integers(len(ctxa)), rng.integers(len(ctxa))
+                inn = rng.integers(len(pools))
+                while inn == ia and len(pools) > 1:
+                    inn = rng.integers(len(pools))
+                ctxn = pools[inn][0]
+                xa.append(ctxa[j1])
+                xp.append(ctxa[j2])
+                xn.append(ctxn[rng.integers(len(ctxn))])
+            state, m = step_fn(state, jnp.asarray(np.stack(xa)),
+                               jnp.asarray(np.stack(xp)), jnp.asarray(np.stack(xn)))
+            if (i + 1) % 50 == 0:
+                lossv = float(m["loss"])
+                emit(f"[tnet_pts] step {i + 1}/{steps} loss {lossv:.4f}")
+        save_model(cfg.mpath_tnet_pts, model, state.params,
+                   extra_meta={"task": "tnet_pts", "toy_steps": steps})
+        metrics["tnet_loss"] = lossv
+
+    return metrics
+
+
+def eval_toy_point_models(
+    world: Dict, npoints: int = 2048, seed: int = 123,
+) -> Dict[str, float]:
+    """Held-out metrics of the persisted point models on a fresh world:
+    celltype accuracy over cells, glia AUC-proxy (mean score separation),
+    compartment per-point accuracy."""
+    import jax.numpy as jnp
+
+    from ..inference.points import ContextPredictor
+    from ..models.io import load_model
+
+    cfg = global_params.config
+    rng = np.random.default_rng(seed)
+    ct = world["celltype_gt"]
+    out: Dict[str, float] = {}
+
+    model, params = load_model(cfg.mpath_celltype_pts)
+    pred = ContextPredictor(model, params, npoints=npoints)
+    hits, tot = 0, 0
+    for cid in range(1, len(ct)):
+        ctxs, _ = _cell_contexts(world, cid, npoints, 20_000.0, 8, rng)
+        if ctxs is None or not len(ctxs):
+            continue
+        o = pred.predict(ctxs)
+        guess = int(np.argmax(o["logits"].mean(axis=0)))
+        hits += int(guess == int(ct[cid]))
+        tot += 1
+    out["celltype_acc"] = hits / max(tot, 1)
+
+    for task, mpath in (("compartment", cfg.mpath_compartment_pts),
+                        ("spiness", cfg.mpath_spiness)):
+        try:
+            model, params = load_model(mpath)
+        except FileNotFoundError:
+            continue
+        pred = ContextPredictor(model, params, npoints=npoints)
+        correct, n = 0, 0
+        for cid in range(1, len(ct)):
+            ctxs, pls = _cell_contexts(world, cid, npoints, 20_000.0, 8, rng,
+                                       label_kind=task if task == "spiness"
+                                       else "compart")
+            if ctxs is None or not len(ctxs):
+                continue
+            o = pred.predict(ctxs)  # (M, npoints, C)
+            lab = np.argmax(o, axis=-1)
+            valid = pls >= 0
+            correct += int((lab[valid] == pls[valid]).sum())
+            n += int(valid.sum())
+        out[f"{task}_acc"] = correct / max(n, 1)
+
+    model, params = load_model(cfg.mpath_glia_pts)
+    pred = ContextPredictor(model, params, npoints=npoints)
+    glia_scores, neuron_scores = [], []
+    for cid in range(1, len(ct)):
+        ctxs, _ = _cell_contexts(world, cid, npoints, 15_000.0, 6, rng,
+                                 surface_only=True)
+        if ctxs is None or not len(ctxs):
+            continue
+        o = pred.predict(ctxs)
+        p = np.exp(o) / np.exp(o).sum(-1, keepdims=True)
+        score = float(p[..., 1].mean())
+        (glia_scores if ct[cid] == 3 else neuron_scores).append(score)
+    if glia_scores and neuron_scores:
+        out["glia_sep"] = float(np.mean(glia_scores) - np.mean(neuron_scores))
+        out["glia_acc"] = float(
+            (np.asarray(glia_scores) > 0.5).mean() * 0.5
+            + (np.asarray(neuron_scores) <= 0.5).mean() * 0.5
+        )
+    return out

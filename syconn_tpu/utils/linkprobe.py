@@ -18,16 +18,71 @@ import numpy as np
 
 log = logging.getLogger("syconn_tpu.linkprobe")
 
-__all__ = ["link_throughput_mbps", "downlink_mbps"]
+__all__ = ["link_throughput_mbps", "downlink_mbps", "backend_alive"]
 
 _cache: Optional[Tuple[float, float]] = None
+_alive_cache: Optional[bool] = None
+
+
+def _backend_initialized_in_process() -> bool:
+    """True when this process has already initialized a jax backend."""
+    import sys
+
+    jax = sys.modules.get("jax")
+    if jax is None:
+        return False
+    try:
+        return bool(jax._src.xla_bridge._backends)
+    except Exception:
+        return False
+
+
+def backend_alive(timeout_s: float = 45.0, refresh: bool = False) -> bool:
+    """True when the ambient accelerator backend initializes within
+    ``timeout_s`` — probed in a SUBPROCESS so a wedged relay (observed:
+    ``jax.devices()`` hanging indefinitely mid relay upgrade) cannot hang
+    the caller. Cached per process.
+
+    Only meaningful BEFORE this process initializes its own backend: once
+    the process holds the (exclusive) TPU, a subprocess probe would block
+    on the device lock and report a false negative.
+    """
+    global _alive_cache
+    if _alive_cache is not None and not refresh:
+        return _alive_cache
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("SYCONN_TPU_PLATFORM", None)  # probe the ambient backend
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, env=env,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        _alive_cache = res.returncode == 0
+    except subprocess.TimeoutExpired:
+        _alive_cache = False
+    if not _alive_cache:
+        log.warning("accelerator backend did not initialize within %.0fs — "
+                    "treating the device link as down", timeout_s)
+    return _alive_cache
 
 
 def link_throughput_mbps(size_mb: int = 8, refresh: bool = False) -> Tuple[float, float]:
     """(upload, download) MB/s to the default device, measured once per
-    process (cached). Returns (inf, inf) on CPU backends (no transfer)."""
+    process (cached). Returns (inf, inf) on CPU backends (no transfer) and
+    (0, 0) when the backend is wedged (see ``backend_alive``)."""
     global _cache
     if _cache is not None and not refresh:
+        return _cache
+    if not _backend_initialized_in_process() and not backend_alive():
+        # only subprocess-probe BEFORE this process attaches: afterwards the
+        # probe would block on the exclusive device lock (false negative),
+        # and a live in-process backend is evidence enough
+        _cache = (0.0, 0.0)
         return _cache
     import jax
 

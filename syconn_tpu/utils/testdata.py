@@ -42,17 +42,20 @@ def generate_toy_world(
     """
     if device == "auto":
         try:
-            import jax
+            from .linkprobe import backend_alive, downlink_mbps
 
-            from .linkprobe import downlink_mbps
+            # probe the backend in a subprocess FIRST: a wedged relay hangs
+            # jax.default_backend() indefinitely (observed mid relay
+            # upgrade), so no in-process jax call may precede this check
+            device = int(np.prod(shape)) >= 32_000_000 and backend_alive()
+            if device:
+                import jax
 
-            # ~3 B/voxel stream back: only worth it when the downlink can
-            # beat the ~0.75 MVx/s host generator
-            device = (
-                jax.default_backend() != "cpu"
-                and int(np.prod(shape)) >= 32_000_000
-                and downlink_mbps() >= 20.0
-            )
+                # ~3 B/voxel stream back: only worth it when the downlink
+                # can beat the ~0.75 MVx/s host generator
+                device = (
+                    jax.default_backend() != "cpu" and downlink_mbps() >= 20.0
+                )
         except Exception:
             device = False
     if device:

@@ -229,7 +229,7 @@ def generate_neuron_world(
                     break
             dirs.append(d0)
             if kind == "axon":
-                n_steps = int(rng.integers(16, 26))
+                n_steps = int(rng.integers(22, 32))
                 step = 0.06 * diag / 2
                 r0, r1 = 2.4, 2.0
                 drift = 0.35
@@ -251,7 +251,7 @@ def generate_neuron_world(
                 others = [j for j in range(n_cells) if j != idx]
                 rng.shuffle(others)
                 waypoints = []
-                for j in others[: int(rng.integers(1, 3))]:
+                for j in others[: int(rng.integers(2, 4))]:
                     off = rng.normal(size=3) * [1, 1, 0.5]
                     off = _unit(off) * 0.10 * diag
                     waypoints.append(centers[j] + off)
@@ -326,10 +326,8 @@ def generate_neuron_world(
             target_pts.append(sp["head_center"])
             target_cell.append(cid)
             target_spine.append(sp)
-    sj_mask = np.zeros(shape, bool)
-    sym_mask = np.zeros(shape, bool)
-    asym_mask = np.zeros(shape, bool)
-    syn_gt: List[dict] = []
+    syn_specs: List[dict] = []
+    pair_counts: Dict[tuple, int] = {}
     if target_pts:
         t_xyz = np.asarray(target_pts) * [1, 1, az]
         tree = spatial.cKDTree(t_xyz)
@@ -342,37 +340,44 @@ def generate_neuron_world(
                     continue
                 line, radii = pl["pts"], pl["radii"]
                 my0, my1 = meta.get("myelinated", (len(line) + 1, -1))
+                cooldown = 0  # node gap between boutons on this axon
                 for a in range(1, len(line) - 1):
+                    if cooldown > 0:
+                        cooldown -= 1
+                        continue
                     if my0 <= a < my1:  # no boutons under myelin
                         continue
-                    if rng.random() > 0.75:
+                    if rng.random() > 0.85:
                         continue
                     p = line[a]
                     dists, ii = tree.query(p * [1, 1, az], k=6,
                                            distance_upper_bound=0.12 * diag)
-                    for dist, i in zip(np.atleast_1d(dists), np.atleast_1d(ii)):
-                        if not np.isfinite(dist) or target_cell[i] == cid:
+                    # prefer under-used partner pairs for synapse diversity
+                    cands = [(d, i) for d, i in
+                             zip(np.atleast_1d(dists), np.atleast_1d(ii))
+                             if np.isfinite(d) and target_cell[i] != cid]
+                    cands.sort(key=lambda di: (
+                        pair_counts.get((cid, target_cell[di[1]]), 0), di[0]))
+                    for dist, i in cands[:1]:
+                        if pair_counts.get((cid, target_cell[i]), 0) >= 3:
                             continue
                         q = np.asarray(target_pts[i], np.float64)
                         post = target_cell[i]
                         sp = target_spine[i]
                         m = (p + q) / 2.0
-                        # bridge: bouton bulge + target bulge + sj disc between
+                        # bridge: bouton bulge + target bulge meet at m
                         P.paint_capsule(cid, p, m, 2.4, 1.8, AXON)
                         P.paint_capsule(post, q, m, 2.4, 1.8, DENDRITE,
                                         SP_HEAD if sp is not None else
                                         (SP_SHAFT if cells_meta[post]["type"] in (0, 2) else None))
-                        slj, mj, _ = P.capsule_mask(m, m, 2.8, 2.8)
-                        if slj is not None:
-                            sj_mask[slj] |= mj
-                            (asym_mask if sign == "asym" else sym_mask)[slj] |= mj
-                        syn_gt.append({
+                        syn_specs.append({
                             "coord_vx": m, "pre_cell": cid, "post_cell": post,
                             "sign": sign, "on_spine": sp is not None,
                             "head_vol_vx": (4.0 / 3.0 * np.pi * sp["head_radius"] ** 3 / az)
                             if sp is not None else 0.0,
                         })
-                        break  # one synapse per bouton
+                        pair_counts[(cid, post)] = pair_counts.get((cid, post), 0) + 1
+                        cooldown = 1
         cells, compart, spiness, myelin = P.cells, P.compart, P.spiness, P.myelin
 
     # membranes: boundary voxels (6-adj) between different nonzero cells and
@@ -383,11 +388,47 @@ def generate_neuron_world(
     membrane = interface & (cells > 0)
     cells_gapped = cells.copy()
     cells_gapped[membrane] = 0
-    # sj must live on the interface (between cells) for cs mapping
-    sj_mask &= ndimage.binary_dilation(membrane | (cells == 0), iterations=2)
-    sym_mask &= sj_mask
-    asym_mask &= sj_mask
-    sym_mask &= ~asym_mask  # overlapping discs of opposite sign: asym wins
+
+    # synaptic junctions: painted ON the realized pre/post contact
+    # interface (where both partners are within 2 voxels of a gap voxel),
+    # so the contact-site stencil and the sj foreground agree — a GT
+    # synapse entry is only recorded when its junction materialized
+    sj_mask = np.zeros(shape, bool)
+    sym_mask = np.zeros(shape, bool)
+    asym_mask = np.zeros(shape, bool)
+    syn_gt = []
+    shp = np.asarray(shape)
+    for spec in syn_specs:
+        m = spec["coord_vx"]
+        r = 6
+        lo = np.maximum(np.round(m).astype(int) - [r, r, r // 2], 0)
+        hi = np.minimum(np.round(m).astype(int) + [r + 1, r + 1, r // 2 + 1], shp)
+        sl = tuple(slice(int(a), int(b)) for a, b in zip(lo, hi))
+        box = cells_gapped[sl]
+        pre1 = ndimage.binary_dilation(box == spec["pre_cell"], iterations=1)
+        pre2 = ndimage.binary_dilation(pre1, iterations=1)
+        post1 = ndimage.binary_dilation(box == spec["post_cell"], iterations=1)
+        post2 = ndimage.binary_dilation(post1, iterations=1)
+        # tight junction: gap voxels with the partners at most 3 voxels
+        # apart (the membrane strip is 1-2 wide; the contact-site stencil
+        # reaches across it) — the validity test for a GT entry
+        tight = ((pre1 & post2) | (pre2 & post1)) & (box == 0)
+        if int(tight.sum()) < 6:
+            continue  # bridge did not realize a usable contact
+        junction = pre2 & post2 & (box == 0)
+        # the synaptic density spans the cleft AND both partners' membrane
+        # voxels (the contact-site kernel labels foreground voxels, so the
+        # sj foreground must reach onto them for the syn overlap)
+        density = ndimage.binary_dilation(junction, iterations=3) & (
+            (box == spec["pre_cell"]) | (box == spec["post_cell"]) | junction
+        )
+        sj_mask[sl] |= density
+        (asym_mask if spec["sign"] == "asym" else sym_mask)[sl] |= density
+        # re-center the GT coordinate on the realized tight junction
+        jc = np.argwhere(tight).mean(axis=0) + lo
+        spec = dict(spec, coord_vx=jc)
+        syn_gt.append(spec)
+    sym_mask &= ~asym_mask  # overlapping junctions of opposite sign: asym wins
 
     # ------------------------------------------------------- supervoxels
     seg = np.zeros(shape, np.uint64)
