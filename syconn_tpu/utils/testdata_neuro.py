@@ -365,9 +365,13 @@ def generate_neuron_world(
                         post = target_cell[i]
                         sp = target_spine[i]
                         m = (p + q) / 2.0
-                        # bridge: bouton bulge + target bulge meet at m
-                        P.paint_capsule(cid, p, m, 2.4, 1.8, AXON)
-                        P.paint_capsule(post, q, m, 2.4, 1.8, DENDRITE,
+                        # bridge: bouton bulge + target bulge meet at m.
+                        # The tips must stay fat: the membrane stripping
+                        # removes every voxel adjacent to the partner, so a
+                        # thin (r<2) tip would be erased entirely and no
+                        # contact would survive.
+                        P.paint_capsule(cid, p, m, 2.6, 3.2, AXON)
+                        P.paint_capsule(post, q, m, 2.6, 3.2, DENDRITE,
                                         SP_HEAD if sp is not None else
                                         (SP_SHAFT if cells_meta[post]["type"] in (0, 2) else None))
                         syn_specs.append({
@@ -413,6 +417,12 @@ def generate_neuron_world(
         # apart (the membrane strip is 1-2 wide; the contact-site stencil
         # reaches across it) — the validity test for a GT entry
         tight = ((pre1 & post2) | (pre2 & post1)) & (box == 0)
+        import os as _os
+        if _os.environ.get("SYCONN_TPU_NEURO_DEBUG"):
+            print("spec", spec["pre_cell"], "->", spec["post_cell"],
+                  "tight", int(tight.sum()),
+                  "pre-in-box", int((box == spec["pre_cell"]).sum()),
+                  "post-in-box", int((box == spec["post_cell"]).sum()))
         if int(tight.sum()) < 6:
             continue  # bridge did not realize a usable contact
         junction = pre2 & post2 & (box == 0)
