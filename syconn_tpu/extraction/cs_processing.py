@@ -47,46 +47,36 @@ __all__ = [
 
 # --------------------------------------------------------------- clustering
 def connected_cluster_kdtree(
-    coords_nm: np.ndarray, gap_nm: float, exact_limit: int = 20_000
+    coords_nm: np.ndarray, gap_nm: float, exact_limit: Optional[int] = None
 ) -> np.ndarray:
     """Cluster coordinates by single-linkage with distance <= gap_nm
     (reference: cs_processing_steps.py:552). Returns cluster labels (N,).
 
-    Dense voxel lists make exact pairwise linkage quadratic (every voxel has
-    ~(gap/voxel)^3 neighbors), so above ``exact_limit`` points the linkage
-    runs on an occupancy grid of cell size gap/2: cells are dilated by one
-    and connected-component labeled — the grid analog of the reference's
-    big-list subsampling (cs_processing_steps.py:774). Merge distance is
-    then gap +- one cell diagonal.
+    The linkage runs on an occupancy grid of cell size gap/2: occupied
+    cells are dilated by one and connected-component labeled — the grid
+    analog of the reference's big-list subsampling
+    (cs_processing_steps.py:774), with merge distance gap +- one cell
+    diagonal. Dense voxel lists make an exact KD-tree pairwise linkage
+    quadratic (every voxel has ~(gap/voxel)^3 in-range neighbors: a
+    profiled pipeline run spent >100 s in the sparse-graph machinery for
+    38 partner pairs), so the grid path is used for every size; the
+    ``exact_limit`` parameter is kept for call compatibility and ignored.
     """
-    from scipy.sparse import coo_matrix
-    from scipy.sparse.csgraph import connected_components
+    from scipy import ndimage
 
     n = len(coords_nm)
     if n == 0:
         return np.zeros(0, np.int64)
-    if n > exact_limit:
-        from scipy import ndimage
-
-        cell = max(gap_nm / 2.0, 1.0)
-        q = np.floor(np.asarray(coords_nm, np.float64) / cell).astype(np.int64)
-        lo = q.min(axis=0)
-        q -= lo
-        sh = q.max(axis=0) + 3
-        occ = np.zeros(tuple(sh), bool)
-        occ[q[:, 0] + 1, q[:, 1] + 1, q[:, 2] + 1] = True
-        occ = ndimage.binary_dilation(occ, structure=np.ones((3, 3, 3), bool))
-        lab, _ = ndimage.label(occ, structure=np.ones((3, 3, 3), bool))
-        return lab[q[:, 0] + 1, q[:, 1] + 1, q[:, 2] + 1].astype(np.int64)
-    tree = spatial.cKDTree(coords_nm)
-    pairs = tree.query_pairs(gap_nm, output_type="ndarray")
-    if len(pairs) == 0:
-        return np.arange(n, dtype=np.int64)
-    adj = coo_matrix(
-        (np.ones(len(pairs), np.int8), (pairs[:, 0], pairs[:, 1])), shape=(n, n)
-    )
-    _, labels = connected_components(adj, directed=False)
-    return labels.astype(np.int64)
+    cell = max(gap_nm / 2.0, 1.0)
+    q = np.floor(np.asarray(coords_nm, np.float64) / cell).astype(np.int64)
+    lo = q.min(axis=0)
+    q -= lo
+    sh = q.max(axis=0) + 3
+    occ = np.zeros(tuple(sh), bool)
+    occ[q[:, 0] + 1, q[:, 1] + 1, q[:, 2] + 1] = True
+    occ = ndimage.binary_dilation(occ, structure=np.ones((3, 3, 3), bool))
+    lab, _ = ndimage.label(occ, structure=np.ones((3, 3, 3), bool))
+    return lab[q[:, 0] + 1, q[:, 1] + 1, q[:, 2] + 1].astype(np.int64)
 
 
 def filter_relevant_syn(
