@@ -111,6 +111,25 @@ def _cell_contexts(world, cid, npoints, ctx_size_nm, n_contexts, rng,
     return ctxs, gather(slabels if label_kind == "spiness" else labels)
 
 
+def augment_context(ctx: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Random z-rotation + axis mirror + jitter of a (npoints, 3+F) context.
+
+    Deployment contexts arrive in arbitrary world orientation; without
+    this the classifier memorizes the training cells' absolute layouts
+    (observed: celltype train acc 1.0, held-out 0.33)."""
+    out = ctx.copy()
+    a = rng.uniform(0, 2 * np.pi)
+    c, s = np.cos(a), np.sin(a)
+    xy = out[:, :2] @ np.array([[c, -s], [s, c]], np.float32)
+    out[:, :2] = xy
+    if rng.random() < 0.5:
+        out[:, 0] = -out[:, 0]
+    if rng.random() < 0.5:
+        out[:, 2] = -out[:, 2]
+    out[:, :3] += rng.normal(0, 0.01, (1, 3)).astype(np.float32)
+    return out
+
+
 def train_toy_point_models(
     worlds: Sequence[Dict],
     tasks: Sequence[str] = ("celltype", "glia", "compartment", "spiness", "tnet"),
@@ -168,7 +187,7 @@ def train_toy_point_models(
             for _ in range(batch):
                 ctxs, pls, sls, ct_i, is_g = pool[rng.integers(len(pool))]
                 j = rng.integers(len(ctxs))
-                xs.append(ctxs[j])
+                xs.append(augment_context(ctxs[j], rng))
                 ys.append(ct_i if key == "celltype" else int(is_g))
             yield np.stack(xs), np.asarray(ys, np.int32)
 
@@ -200,7 +219,7 @@ def train_toy_point_models(
             for _ in range(batch):
                 sctx, is_g = surf_pools[rng.integers(len(surf_pools))]
                 j = rng.integers(len(sctx))
-                xs.append(sctx[j])
+                xs.append(augment_context(sctx[j], rng))
                 ys.append(np.full(npoints, is_g, np.int32))
             state, m = step_fn(state, jnp.asarray(np.stack(xs)),
                                jnp.asarray(np.stack(ys)))
@@ -228,7 +247,7 @@ def train_toy_point_models(
                 entry = pools[rng.integers(len(pools))]
                 ctxs = entry[0]
                 j = rng.integers(len(ctxs))
-                xs.append(ctxs[j])
+                xs.append(augment_context(ctxs[j], rng))
                 ys.append(entry[lab_ix][j])
             state, m = step_fn(state, jnp.asarray(np.stack(xs)),
                                jnp.asarray(np.stack(ys).astype(np.int32)))
@@ -257,9 +276,9 @@ def train_toy_point_models(
                 while inn == ia and len(pools) > 1:
                     inn = rng.integers(len(pools))
                 ctxn = pools[inn][0]
-                xa.append(ctxa[j1])
-                xp.append(ctxa[j2])
-                xn.append(ctxn[rng.integers(len(ctxn))])
+                xa.append(augment_context(ctxa[j1], rng))
+                xp.append(augment_context(ctxa[j2], rng))
+                xn.append(augment_context(ctxn[rng.integers(len(ctxn))], rng))
             state, m = step_fn(state, jnp.asarray(np.stack(xa)),
                                jnp.asarray(np.stack(xp)), jnp.asarray(np.stack(xn)))
             if (i + 1) % 50 == 0:

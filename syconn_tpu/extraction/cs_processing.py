@@ -67,7 +67,10 @@ def connected_cluster_kdtree(
     n = len(coords_nm)
     if n == 0:
         return np.zeros(0, np.int64)
-    cell = max(gap_nm / 2.0, 1.0)
+    # cell = gap/3: with one 26-connected dilation the link reach is
+    # 2*cell*sqrt(3) ~ 1.15*gap (gap/2 cells over-merged: reach 1.73*gap
+    # halved the cs_ssv count on the 0.226 GVx run)
+    cell = max(gap_nm / 3.0, 1.0)
     q = np.floor(np.asarray(coords_nm, np.float64) / cell).astype(np.int64)
     lo = q.min(axis=0)
     q -= lo

@@ -209,7 +209,10 @@ def generate_neuron_world(
         cid = idx + 1
         ct = celltypes[idx]
         soma_c = centers[idx]
-        soma_r = rng.uniform(0.045, 0.062) * diag if ct != 3 else rng.uniform(0.034, 0.045) * diag
+        # per-type soma scale is one of the celltype cues (EA large, MSN
+        # medium, IN small, glia smallest)
+        soma_scale = {0: 1.18, 1: 0.88, 2: 1.0, 3: 0.72}[ct]
+        soma_r = rng.uniform(0.045, 0.060) * diag * soma_scale
         meta = {"type": ct, "soma_center": soma_c, "soma_radius": soma_r,
                 "polylines": [], "spines": []}
 
@@ -264,7 +267,10 @@ def generate_neuron_world(
             for a in range(len(line) - 1):
                 P.paint_capsule(cid, line[a], line[a + 1], radii[a], radii[a + 1],
                                 comp, spin)
-            if kind == "axon" and rng.random() < myelin_rate:
+            # myelination probability is type-dependent (EA heavily
+            # myelinated, IN mostly unmyelinated) — another celltype cue
+            my_rate = myelin_rate * {0: 1.8, 1: 0.3, 2: 1.0, 3: 0.0}[ct]
+            if kind == "axon" and rng.random() < min(my_rate, 1.0):
                 # myelinate a contiguous middle stretch
                 a0 = int(len(line) * 0.25)
                 a1 = int(len(line) * 0.75)
@@ -276,7 +282,9 @@ def generate_neuron_world(
             if comp == DENDRITE and ct in (0, 2):
                 seg_lens = np.linalg.norm(
                     np.diff(line, axis=0) * [1, 1, az], axis=1)
-                n_spines = rng.poisson(spine_rate * float(seg_lens.sum()))
+                # MSN dendrites are far spinier than EA's — a celltype cue
+                sp_rate = spine_rate * (2.2 if ct == 2 else 1.0)
+                n_spines = rng.poisson(sp_rate * float(seg_lens.sum()))
                 for _ in range(int(n_spines)):
                     a = int(rng.integers(0, len(line) - 1))
                     t = rng.random()
@@ -497,8 +505,11 @@ def generate_neuron_world(
 
     # ------------------------------------------------------- organelles
     in_cell = cells_gapped > 0
-    dens = {  # per-type multipliers: (mi, vc)
-        0: (2.0, 0.7), 1: (1.0, 1.0), 2: (0.8, 2.6), 3: (0.4, 0.3),
+    # per-type organelle multipliers (mi, vc): strongly contrasted — the
+    # first draft's mild ratios drowned in per-cell Poisson noise and the
+    # celltype classifier could not separate types (held-out acc ~0.5)
+    dens = {
+        0: (3.0, 0.4), 1: (1.0, 1.0), 2: (0.5, 3.5), 3: (0.25, 0.2),
     }
     mi_mask = np.zeros(shape, bool)
     vc_mask = np.zeros(shape, bool)
@@ -522,6 +533,26 @@ def generate_neuron_world(
                                             p.astype(np.float64), r, r)
                 if slb is not None:
                     mask[slb] |= mb & (cells_gapped[slb] == cid)
+
+    # presynaptic vesicle clouds at every realized synapse: SyConn's 'vc'
+    # class IS the synaptic vesicle cloud, and the vesicle bouton next to a
+    # dark junction is how EM (and the models) recognize a synapse
+    for spec in syn_gt:
+        c = np.round(spec["coord_vx"]).astype(int)
+        r = 6
+        lo = np.maximum(c - [r, r, r // 2], 0)
+        hi = np.minimum(c + [r + 1, r + 1, r // 2 + 1], np.asarray(shape))
+        sl = tuple(slice(int(a), int(b)) for a, b in zip(lo, hi))
+        box = cells_gapped[sl]
+        near_j = ndimage.binary_dilation(sj_mask[sl], iterations=3)
+        pre_region = (box == spec["pre_cell"]) & near_j
+        pv = np.argwhere(pre_region)
+        if len(pv):
+            seeds_v = np.zeros(box.shape, bool)
+            picks = pv[rng.integers(0, len(pv), min(6, len(pv)))]
+            seeds_v[picks[:, 0], picks[:, 1], picks[:, 2]] = True
+            vc_mask[sl] |= ndimage.binary_dilation(seeds_v, iterations=1) & (
+                box == spec["pre_cell"])
 
     # er/golgi: thin walks / disc stacks in somata (kept from the toy world)
     er_mask = np.zeros(shape, bool)
@@ -551,14 +582,37 @@ def generate_neuron_world(
     er_mask = ndimage.binary_dilation(er_mask, iterations=1) & in_cell
 
     # ------------------------------------------------------------ raw image
-    raw = rng.normal(128, 15, shape)
-    raw[cells_gapped == 0] -= 70
-    raw[myelin] -= 80         # myelin sheaths are very dark in EM
-    raw[mi_mask] -= 50
-    raw[vc_mask] += 50
-    raw[er_mask] -= 20
+    # EM-like intensity model: electron-lucent extracellular resin (LIGHT),
+    # dark stained membranes at every cell surface, cytoplasm in between,
+    # organelles with distinctive signatures (mitochondria carry a cristae
+    # stripe texture; myelin is the darkest, lamellar; vesicle clouds are
+    # bright). The first neuron-world draft made 98% of the volume dark
+    # featureless background whose intensity overlapped mi/myelin — models
+    # over-fired on it (train-world mi precision 0.015).
+    raw = rng.normal(128, 12, shape)
+    bg = cells_gapped == 0
+    raw[bg] = rng.normal(172, 9, int(bg.sum()))
+    # membrane stain: the stripped interface voxels + every cell surface
+    in_cells = cells_gapped > 0
+    surface = in_cells & ~ndimage.binary_erosion(in_cells)
+    mem_band = membrane | surface
+    raw[mem_band] = rng.normal(45, 9, int(mem_band.sum()))
+    # organelles
+    raw[er_mask] -= 25
     raw[golgi_mask] -= 40
-    raw[sj_mask] -= 35
+    raw[mi_mask] = rng.normal(96, 7, int(mi_mask.sum()))
+    # cristae: stripes every 2 voxels along x inside mitochondria
+    stripe = ((np.arange(shape[0]) // 2) % 2 == 0)[:, None, None]
+    mi_stripe = mi_mask & np.broadcast_to(stripe, shape)
+    raw[mi_stripe] -= 40
+    raw[vc_mask] = rng.normal(202, 8, int(vc_mask.sum()))
+    raw[myelin] = rng.normal(18, 6, int(myelin.sum()))
+    # junction densities: each sign gets its own intensity niche BETWEEN
+    # membrane (45) and mitochondria (96). An earlier draft put asym sj at
+    # 21 - indistinguishable from myelin (18), which the organelle task
+    # labels background, so 87% of sj voxels were predicted as bg
+    raw[sym_mask] = rng.normal(76, 5, int(sym_mask.sum()))
+    raw[asym_mask] = rng.normal(62, 5, int(asym_mask.sum()))
     raw = np.clip(raw, 0, 255).astype(np.uint8)
 
     to_prob = lambda m: (m.astype(np.uint8) * 255)
