@@ -22,7 +22,7 @@ __all__ = ["train_toy_dense_models"]
 
 
 def train_toy_dense_models(
-    world: Dict[str, np.ndarray],
+    world,
     steps: int = 300,
     tile=(64, 64, 32),
     batch: int = 2,
@@ -32,8 +32,14 @@ def train_toy_dense_models(
     log_cb=None,
     variant_overrides: Optional[Dict[str, dict]] = None,
 ) -> Dict[str, float]:
-    """Train dense models on the toy world's ground truth and persist them
-    to the working directory's model paths. Returns final accuracies."""
+    """Train dense models on toy-world ground truth and persist them to the
+    working directory's model paths. Returns final accuracies.
+
+    ``world``: one world dict or a sequence of them — multiple worlds give
+    the rare thin classes enough variety to generalize (a single 384^3
+    neuron world holds only ~25 synapse junctions; models trained on it
+    scored sj recall 0.875 on the training world and 0.07 held out).
+    """
     import jax.numpy as jnp
 
     from ..models.io import save_model
@@ -42,32 +48,41 @@ def train_toy_dense_models(
 
     cfg = global_params.config
     rng = np.random.default_rng(seed)
-    raw = world["raw"]
-    sh = np.array(raw.shape)
-    tile = np.minimum(np.asarray(tile), sh)
+    worlds = [world] if isinstance(world, dict) else list(world)
+    raws = [w["raw"] for w in worlds]
+    tile = np.minimum(np.asarray(tile), np.min([r.shape for r in raws], axis=0))
+    his = [np.maximum(np.array(r.shape) - tile, 1) for r in raws]
 
-    # labels per task
-    label_vols = {}
+    # labels per task, per world
+    label_vols: Dict[str, list] = {}
     if "organelles" in tasks:
-        lab = np.zeros(raw.shape, np.int32)
-        lab[world["mi"] > 0] = 1
-        lab[world["vc"] > 0] = 2
-        lab[world["sj"] > 0] = 3
-        label_vols["organelles"] = lab
+        vols = []
+        for w in worlds:
+            lab = np.zeros(w["raw"].shape, np.int32)
+            lab[w["mi"] > 0] = 1
+            lab[w["vc"] > 0] = 2
+            lab[w["sj"] > 0] = 3
+            vols.append(lab)
+        label_vols["organelles"] = vols
     if "myelin" in tasks:
-        if "myelin" in world:  # neuron world: real sheath ground truth
-            lab = (world["myelin"] > 0).astype(np.int32)
-        else:  # Voronoi toy proxy: dark membrane voxels count as myelin
-            lab = ((world["cells"] == 0) & (raw < 90)).astype(np.int32)
-        label_vols["myelin"] = lab
+        vols = []
+        for w in worlds:
+            if "myelin" in w:  # neuron world: real sheath ground truth
+                lab = (w["myelin"] > 0).astype(np.int32)
+            else:  # Voronoi toy proxy: dark membrane voxels count as myelin
+                lab = ((w["cells"] == 0) & (w["raw"] < 90)).astype(np.int32)
+            vols.append(lab)
+        label_vols["myelin"] = vols
     if "syntype" in tasks:
-        lab = np.zeros(raw.shape, np.int32)
-        lab[world["asym"] > 0] = 1
-        lab[world["sym"] > 0] = 2
-        label_vols["syntype"] = lab
+        vols = []
+        for w in worlds:
+            lab = np.zeros(w["raw"].shape, np.int32)
+            lab[w["asym"] > 0] = 1
+            lab[w["sym"] > 0] = 2
+            vols.append(lab)
+        label_vols["syntype"] = vols
 
     accs = {}
-    hi = np.maximum(sh - tile, 1)
     for task in tasks:
         kw = dict(unet_variants(task))
         if variant_overrides and task in variant_overrides:
@@ -77,19 +92,29 @@ def train_toy_dense_models(
         # inverse-frequency class weights (organelles are <3% of the volume)
         from ..models.train import weighted_xent
 
-        lab_vol = label_vols[task]
+        task_vols = label_vols[task]
         # foreground-centered tiles half the time, CLASS-BALANCED: pick a
         # present foreground class uniformly, then a voxel of it. Without
         # the balancing, abundant classes (mi/vc blobs) crowd out thin rare
         # ones (sj is ~100x rarer) and the rare class never anchors a tile
         # (observed: sj heldout recall 0.12 with pooled fg sampling).
-        fg_by_class = [np.argwhere(lab_vol == c)
-                       for c in range(1, model.n_classes)]
-        fg_by_class = [c for c in fg_by_class if len(c)]
+        fg_by_wc = [
+            [c for c in (np.argwhere(lv == cc)
+                         for cc in range(1, model.n_classes)) if len(c)]
+            for lv in task_vols
+        ]
 
-        def fg_center():
-            cls = fg_by_class[rng.integers(len(fg_by_class))]
-            return cls[rng.integers(len(cls))]
+        def sample_tile():
+            wi = rng.integers(len(worlds))
+            fbc = fg_by_wc[wi]
+            if fbc and rng.random() < 0.5:
+                cls = fbc[rng.integers(len(fbc))]
+                c = cls[rng.integers(len(cls))]
+                off = np.clip(c - np.asarray(tile) // 2, 0, his[wi])
+            else:
+                off = np.array([rng.integers(0, h) for h in his[wi]])
+            sl = tuple(slice(o, o + t) for o, t in zip(off, tile))
+            return raws[wi][sl], task_vols[wi][sl]
         # class weights from the EFFECTIVE sampled distribution: with
         # fg-centered oversampling the rare classes are already boosted in
         # the batch stream, so weighting by the *global* volume frequency
@@ -98,30 +123,24 @@ def train_toy_dense_models(
         # and temper that (sqrt, cap 4).
         freqs = np.ones(model.n_classes, np.float64)
         for _ in range(256):
-            if fg_by_class and rng.random() < 0.5:
-                c = fg_center()
-                off = np.clip(c - np.asarray(tile) // 2, 0, hi)
-            else:
-                off = np.array([rng.integers(0, h) for h in hi])
-            sl = tuple(slice(o, o + t) for o, t in zip(off, tile))
-            freqs += np.bincount(lab_vol[sl].reshape(-1),
-                                 minlength=model.n_classes)
+            _, lv = sample_tile()
+            freqs += np.bincount(lv.reshape(-1), minlength=model.n_classes)
         weights = np.sqrt(freqs.sum() / freqs)
-        weights = np.minimum(weights / weights.min(), 4.0)
+        # cap 24: thin rare classes (a synapse junction is ~1/2000 of the
+        # sampled voxels even with class-balanced fg tiles) contribute
+        # ~0.2% of the loss under a cap of 4 and get ignored entirely
+        # (heldout sj recall 0.007); sqrt-of-effective-frequency with this
+        # cap keeps them in play without the full-1/f precision collapse
+        weights = np.minimum(weights / weights.min(), 24.0)
         weights = weights / weights.mean()
         step_fn = make_train_step(loss_fn=weighted_xent(weights))
         acc = 0.0
         for i in range(steps):
             xs, ys = [], []
             for _ in range(batch):
-                if fg_by_class and rng.random() < 0.5:
-                    c = fg_center()
-                    off = np.clip(c - np.asarray(tile) // 2, 0, hi)
-                else:
-                    off = np.array([rng.integers(0, h) for h in hi])
-                sl = tuple(slice(o, o + t) for o, t in zip(off, tile))
-                xs.append(raw[sl][..., None].astype(np.float32))
-                ys.append(lab_vol[sl])
+                rv, lv = sample_tile()
+                xs.append(rv[..., None].astype(np.float32))
+                ys.append(lv)
             state, m = step_fn(state, jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(ys)))
             if (i + 1) % 50 == 0:
                 acc = float(m["acc"])

@@ -436,9 +436,12 @@ def generate_neuron_world(
         junction = pre2 & post2 & (box == 0)
         # the synaptic density spans the cleft AND both partners' membrane
         # voxels (the contact-site kernel labels foreground voxels, so the
-        # sj foreground must reach onto them for the syn overlap)
+        # sj foreground must reach onto them for the syn overlap); the
+        # cleft gap is included so each junction yields a solid ~200-voxel
+        # training footprint instead of a sliver
         density = ndimage.binary_dilation(junction, iterations=3) & (
-            (box == spec["pre_cell"]) | (box == spec["post_cell"]) | junction
+            (box == spec["pre_cell"]) | (box == spec["post_cell"])
+            | (box == 0)
         )
         sj_mask[sl] |= density
         (asym_mask if spec["sign"] == "asym" else sym_mask)[sl] |= density
