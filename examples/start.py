@@ -92,12 +92,22 @@ def main():
             ("cell_objects", {
                 # per-key config fallback is top-level: nested dicts replace
                 # the defaults wholesale, so every enabled organelle needs
-                # its entries here
+                # its entries here. The neuron-morphology world builds
+                # organelles at realistic-to-its-tube-calibers sizes
+                # (~30-80 voxels), far below the dense Voronoi world's
+                # blobs — thresholds must follow or every mi/vc is
+                # size-filtered away and the celltype point clouds lose
+                # their organelle channels entirely.
                 "extract_morph_op": {"mi": ["binary_closing"], "vc": ["binary_closing"], "sj": [],
                                      "er": ["binary_closing"], "golgi": ["binary_closing"]},
-                "min_obj_vx": {"mi": 200, "vc": 100, "sj": 30, "er": 100, "golgi": 100,
-                               "sv": 1, "cs": 10, "syn": 10, "syn_ssv": 20},
-                "sizethresholds": {"mi": 200, "vc": 100, "sj": 30, "er": 100, "golgi": 100},
+                "min_obj_vx": ({"mi": 20, "vc": 10, "sj": 10, "er": 20, "golgi": 20,
+                                "sv": 1, "cs": 10, "syn": 10, "syn_ssv": 20}
+                               if args.world == "neuron" else
+                               {"mi": 200, "vc": 100, "sj": 30, "er": 100, "golgi": 100,
+                                "sv": 1, "cs": 10, "syn": 10, "syn_ssv": 20}),
+                "sizethresholds": ({"mi": 20, "vc": 10, "sj": 10, "er": 20, "golgi": 20}
+                                   if args.world == "neuron" else
+                                   {"mi": 200, "vc": 100, "sj": 30, "er": 100, "golgi": 100}),
             }),
             ("skeleton", {"kimimaro_skelgen": {"dust_threshold": 200},
                           "kimimaro_merge": {"dust_threshold": 150, "tick_threshold": 300}}),

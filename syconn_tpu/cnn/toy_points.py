@@ -54,11 +54,18 @@ def world2cloud(
         return z, zi, zi.copy(), zi.copy()
     surface = cell & ~ndimage.binary_erosion(cell)
     near_cell = ndimage.binary_dilation(cell, iterations=3)
+
+    def surf(m):
+        # deployment clouds are MESH VERTICES (surfaces); voxel-filled
+        # organelle clouds skew the per-type point ratios the celltype
+        # classifier keys on (volume vs area scaling), so sample surfaces
+        return m & ~ndimage.binary_erosion(m)
+
     masks = [
         surface,
-        (world["mi"] > 0) & cell,
-        (world["vc"] > 0) & cell,
-        (world["sj"] > 0) & near_cell,
+        surf((world["mi"] > 0) & cell),
+        surf((world["vc"] > 0) & cell),
+        surf((world["sj"] > 0) & near_cell),
     ]
     coords, types, labels, slabels = [], [], [], []
     for ti, m in enumerate(masks):
@@ -111,6 +118,79 @@ def _cell_contexts(world, cid, npoints, ctx_size_nm, n_contexts, rng,
     return ctxs, gather(slabels if label_kind == "spiness" else labels)
 
 
+def pipeline_cloud_pools(
+    wd: str, npoints: int = 2048, n_contexts: int = 8, seed: int = 0,
+):
+    """Training pools from a PIPELINE-PROCESSED working dir: clouds come
+    from the same mesh-based ``sso2pointcloud`` the deployment path uses,
+    labels from the world's construction GT (``neuron_gt.npz``).
+
+    Voxel-derived training clouds do not match deployment clouds (mesh
+    vertices; syn_ssv-mesh-dominated sj channel) — celltype accuracy
+    through the pipeline stayed ~0.5 while voxel-cloud eval scored 1.0.
+    The reference trains on reconstructions for the same reason.
+
+    Returns (pools, surf_pools) in ``train_toy_point_models`` format.
+    """
+    import os
+
+    from .. import global_params
+    from ..inference.points import extract_contexts, sso2pointcloud
+    from ..reps.super_segmentation import SuperSegmentationDataset
+
+    gt = np.load(os.path.join(wd, "neuron_gt.npz"))
+    prev = global_params.wd
+    pools, surf_pools = [], []
+    try:
+        global_params.wd = wd
+        global_params.config._parse_config()
+        scale = np.asarray(global_params.config["scaling"], np.float64)
+        comp_vol = gt["compart"]
+        spin_vol = gt["spiness"]
+        shape = np.asarray(comp_vol.shape)
+        sv2cell = dict(zip(gt["sv_ids"].tolist(), gt["sv_cells"].tolist()))
+        ct_gt = gt["celltype_gt"]
+        ssd = SuperSegmentationDataset(working_dir=wd)
+        for sid in ssd.ssv_ids:
+            ssv = ssd.get_super_segmentation_object(int(sid))
+            coords, types = sso2pointcloud(ssv)
+            if len(coords) == 0:
+                continue
+            cells = [sv2cell.get(int(s), -1) for s in ssv.sv_ids]
+            cells = [c for c in cells if c > 0]
+            if not cells:
+                continue
+            vals, cnt = np.unique(cells, return_counts=True)
+            cell = int(vals[np.argmax(cnt)])
+            vox = np.clip(np.round(coords / scale[None]).astype(np.int64),
+                          0, shape - 1)
+            cl = comp_vol[vox[:, 0], vox[:, 1], vox[:, 2]].astype(np.int32)
+            sl_ = spin_vol[vox[:, 0], vox[:, 1], vox[:, 2]].astype(np.int32)
+            labels = np.where(cl == 255, -1, cl)
+            slabels = np.where(cl == 255, -1, np.where(sl_ == 255, 3, sl_))
+            r = np.random.default_rng(seed * 1000 + int(sid))
+            ctxs, idx_lists = extract_contexts(
+                coords, types, ctx_size_nm=20_000.0, npoints=npoints,
+                n_contexts=n_contexts, rng=r,
+            )
+            if not len(ctxs):
+                continue
+            pls = np.stack([labels[ix] for ix in idx_lists])
+            sls = np.stack([slabels[ix] for ix in idx_lists])
+            pools.append((ctxs, pls, sls, int(ct_gt[cell]), ct_gt[cell] == 3))
+            sel = types == 0
+            if sel.any():
+                sctx, _ = extract_contexts(
+                    coords[sel], types[sel] * 0, ctx_size_nm=15_000.0,
+                    npoints=npoints, n_contexts=6, rng=r,
+                )
+                if len(sctx):
+                    surf_pools.append((sctx, int(ct_gt[cell] == 3)))
+    finally:
+        global_params.wd = prev
+    return pools, surf_pools
+
+
 def augment_context(ctx: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     """Random z-rotation + axis mirror + jitter of a (npoints, 3+F) context.
 
@@ -139,6 +219,7 @@ def train_toy_point_models(
     learning_rate: float = 1e-3,
     seed: int = 0,
     log_cb=None,
+    extra_pools=None,
 ) -> Dict[str, float]:
     """Train the point models on neuron worlds and persist them to the
     working directory's ``mpath_*_pts`` model dirs. Returns final metrics."""
@@ -176,6 +257,10 @@ def train_toy_point_models(
                                      surface_only=True)
             if sctx is not None and len(sctx):
                 surf_pools.append((sctx, int(ct[cid] == 3)))
+    if extra_pools is not None:
+        ep, esp = extra_pools
+        pools.extend(ep)
+        surf_pools.extend(esp)
     emit(f"[pts] context pools: {len(pools)} cells, "
          f"{sum(len(p[0]) for p in pools)} contexts")
 
@@ -239,7 +324,20 @@ def train_toy_point_models(
             continue
         model = PointSegNet(n_classes=n_cls)
         state = make_train_state(model, (1, npoints, 7), learning_rate=learning_rate)
-        step_fn = make_train_step()
+        # class-weighted loss: spine heads/necks are a few points per
+        # 2048-point context, and the unweighted model never predicted
+        # the head class at all (pipeline spinehead extraction found 0
+        # spine synapses); sqrt-inverse-frequency over the pooled labels
+        from ..models.train import weighted_xent
+
+        freqs = np.ones(n_cls, np.float64)
+        for entry in pools:
+            lv = entry[lab_ix].reshape(-1)
+            freqs += np.bincount(lv[lv >= 0], minlength=n_cls)
+        cw = np.sqrt(freqs.sum() / freqs)
+        cw = np.minimum(cw / cw.min(), 16.0)
+        cw = cw / cw.mean()
+        step_fn = make_train_step(loss_fn=weighted_xent(cw))
         acc = 0.0
         for i in range(steps):
             xs, ys = [], []
