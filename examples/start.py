@@ -55,12 +55,15 @@ def main():
                              "model inference on the raw volume (packaged or "
                              "working-dir weights) instead of copying the "
                              "generator's ground-truth maps")
-    parser.add_argument("--shard_pipeline", action="store_true",
+    parser.add_argument("--shard_pipeline", action=argparse.BooleanOptionalAction,
+                        default=None,
                         help="run the hot pipeline steps sharded over ALL "
                              "attached devices (object extraction, contact "
                              "detection and property scans over an 'sp' mesh "
                              "axis with ICI halo exchange; dense inference "
-                             "batch-sharded over 'data')")
+                             "batch-sharded over 'data'). Default: on "
+                             "whenever >1 device is attached; "
+                             "--no-shard_pipeline forces serial")
     args = parser.parse_args()
 
     organelles = [o.strip() for o in args.organelles.split(",") if o.strip()]
@@ -111,8 +114,8 @@ def main():
             }),
             ("skeleton", {"kimimaro_skelgen": {"dust_threshold": 200},
                           "kimimaro_merge": {"dust_threshold": 150, "tick_threshold": 300}}),
-            ("tpu", {"shard_pipeline": bool(args.shard_pipeline)}),
-        ],
+        ] + ([("tpu", {"shard_pipeline": bool(args.shard_pipeline)})]
+             if args.shard_pipeline is not None else []),
         force_overwrite=True,
     )
     global_params.wd = wd

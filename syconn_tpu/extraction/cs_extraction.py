@@ -171,10 +171,11 @@ def extract_contact_sites(
 
         from ..parallel.sharded import detect_cs_slab_sharded, slab_runs
 
-        n_full_x = int(sh[0] // cs[0])
-        slabs, _ = slab_runs((n_full_x, int(grid[1]), int(grid[2])), n_sp)
-        in_slab = {(s[0] + dx, s[1], s[2]) for s in slabs for dx in range(n_sp)}
-        chunk_ixs = [c for c in chunk_ixs if c not in in_slab]
+        # padded slabs cover EVERY chunk (incl. the x remainder — the last
+        # slab zero-pads past the boundary and out-of-range outputs are
+        # dropped), so nothing falls back to the serial path
+        slabs, _ = slab_runs((int(grid[0]), int(grid[1]), int(grid[2])), n_sp, pad=True)
+        chunk_ixs = []
         poster = ThreadPoolExecutor(max_workers=n_workers or 8)
         post_futs = []
         for cx0, cy, cz in slabs:
@@ -186,14 +187,20 @@ def extract_contact_sites(
             seg = kd.load_seg(offset=off - halo, size=size + 2 * halo, mag=mag)
             if seg.max(initial=0) >= 2**31:
                 # >31-bit SV IDs: route this slab through the serial path
-                chunk_ixs.extend((cx0 + dx, cy, cz) for dx in range(n_sp))
+                chunk_ixs.extend(
+                    (cx0 + dx, cy, cz) for dx in range(n_sp) if cx0 + dx < grid[0]
+                )
                 continue
             packed = detect_cs_slab_sharded(
                 seg, mesh, stencil=tuple(int(s) for s in stencil)
             )
             for s in range(n_sp):
-                cs_seg = packed[s * cs[0] : (s + 1) * cs[0]]
-                post_futs.append(poster.submit(_post, (cx0 + s, cy, cz), cs_seg))
+                cx = cx0 + s
+                if cx >= grid[0]:
+                    break
+                sx = min(int(cs[0]), int(sh[0] - cx * cs[0]))
+                cs_seg = packed[s * cs[0] : s * cs[0] + sx]
+                post_futs.append(poster.submit(_post, (cx, cy, cz), cs_seg))
         slab_post_results = [f.result() for f in post_futs]
         poster.shutdown()
 

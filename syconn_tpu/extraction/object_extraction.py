@@ -221,12 +221,10 @@ def from_probabilities_to_kd(
     if n_sp > 1 and struct is not None:
         from ..parallel.sharded import segment_slab_sharded, slab_runs
 
-        n_full_x = int(sh[0] // cs[0])  # only full-size x-chunks shard evenly
-        slabs, _ = slab_runs((n_full_x, int(grid[1]), int(grid[2])), n_sp)
-        in_slab = {
-            (s[0] + dx, s[1], s[2]) for s in slabs for dx in range(n_sp)
-        }
-        serial_chunks = [c for c in chunk_ixs if c not in in_slab]
+        # padded slabs cover EVERY chunk (the last slab zero-pads past the
+        # x boundary; out-of-range outputs are dropped) — no serial remainder
+        slabs, _ = slab_runs((int(grid[0]), int(grid[1]), int(grid[2])), n_sp, pad=True)
+        serial_chunks = []
 
         def work_slab(slab):
             cx0, cy, cz = slab
@@ -240,10 +238,16 @@ def from_probabilities_to_kd(
                 prob, thresh_uint8, morph_ops, struct, mesh, int(halo), sigma=sigma
             )
             out = []
-            csize = np.array([cs[0], size[1], size[2]], np.int64)
             for s in range(n_sp):
+                cx = cx0 + s
+                if cx >= grid[0]:
+                    break
+                csize = np.array(
+                    [min(int(cs[0]), int(sh[0] - cx * cs[0])), size[1], size[2]],
+                    np.int64,
+                )
                 lab = labels_from_masks(masks[s], eroded[s], n_tr, min_seed_vx)
-                out.append(finish_chunk((cx0 + s, cy, cz), lab, csize))
+                out.append(finish_chunk((cx, cy, cz), lab, csize))
             return out
 
         # the device is a single resource: run slabs sequentially (each is

@@ -58,16 +58,17 @@ __all__ = [
 
 
 def mesh_from_config(axis_name: str = "sp") -> Optional[Mesh]:
-    """Build a 1D mesh over all devices for pipeline-step sharding when the
-    config enables it (``tpu.shard_pipeline: true``) and more than one
-    device is attached; else None (serial path)."""
+    """Build a 1D mesh over all devices for pipeline-step sharding whenever
+    more than one device is attached (reference shape: the unconditional
+    fan-out of syconn/mp/batchjob_utils.py:69). Sharding is default-on; a
+    user can opt out with ``tpu.shard_pipeline: false``."""
     from .. import global_params
 
     try:
-        enabled = bool(global_params.config["tpu"].get("shard_pipeline", False))
+        enabled = global_params.config["tpu"].get("shard_pipeline", True)
     except Exception:
-        enabled = False
-    if not enabled:
+        enabled = True
+    if enabled is False:
         return None
     devs = jax.devices()
     if len(devs) < 2:
@@ -76,13 +77,19 @@ def mesh_from_config(axis_name: str = "sp") -> Optional[Mesh]:
 
 
 def slab_runs(
-    grid: Sequence[int], n_sp: int
+    grid: Sequence[int], n_sp: int, pad: bool = False
 ) -> Tuple[List[Tuple[int, int, int]], List[Tuple[int, int, int]]]:
     """Partition a chunk grid into x-runs of ``n_sp`` consecutive full
-    chunks (sharded slabs) plus the remainder chunks (serial path).
+    chunks (sharded slabs).
 
     Returns (slab_starts, serial_chunks); a slab start (cx, cy, cz) covers
     chunks cx..cx+n_sp-1 in the same (cy, cz) column.
+
+    With ``pad=False`` the remainder x-chunks go to the serial list. With
+    ``pad=True`` a final slab per column covers them too — it may extend
+    past the grid (chunked loads zero-pad out-of-bounds reads, and callers
+    skip outputs of chunks with cx >= grid[0]) so EVERY chunk runs on the
+    sharded path and the serial list is empty.
     """
     slabs = []
     serial = []
@@ -91,8 +98,11 @@ def slab_runs(
         for cz in range(grid[2]):
             for cx in range(0, n_full, n_sp):
                 slabs.append((cx, cy, cz))
-            for cx in range(n_full, grid[0]):
-                serial.append((cx, cy, cz))
+            if n_full < grid[0]:
+                if pad:
+                    slabs.append((n_full, cy, cz))
+                else:
+                    serial.extend((cx, cy, cz) for cx in range(n_full, grid[0]))
     return slabs, serial
 
 
@@ -296,25 +306,31 @@ def object_properties_sharded(
     assert vol.shape[0] % n == 0
     assert vol.max(initial=0) < 2**31
     shard_x = vol.shape[0] // n
+    vol32 = vol.astype(np.int32)
 
-    def kernel(local):
-        ids, rep, bb, sizes, n_seg = object_properties_device(
-            local.astype(jnp.int32), max_ids
+    while True:  # grow the padded table until every shard's labels fit
+        cap = max_ids
+
+        def kernel(local):
+            ids, rep, bb, sizes, n_seg = object_properties_device(
+                local.astype(jnp.int32), cap
+            )
+            return ids, rep, bb, sizes, n_seg.reshape(1)
+
+        ids, rep, bb, sizes, n_seg = sharded_slab_apply(
+            kernel, vol32, mesh, halo_x=0, axis_name=axis_name
         )
-        return ids, rep, bb, sizes, n_seg.reshape(1)
-
-    ids, rep, bb, sizes, n_seg = sharded_slab_apply(
-        kernel, vol.astype(np.int32), mesh, halo_x=0, axis_name=axis_name
-    )
+        n_seg = np.asarray(n_seg).reshape(n)
+        worst = int(n_seg.max(initial=0))
+        if worst <= max_ids:
+            break
+        # one recompile per size; grow directly to the observed need
+        max_ids = 1 << int(np.ceil(np.log2(worst)))
+    max_ids = cap
     ids = np.asarray(ids).reshape(n, max_ids)
     rep = np.asarray(rep).reshape(n, max_ids, 3)
     bb = np.asarray(bb).reshape(n, max_ids, 2, 3)
     sizes = np.asarray(sizes).reshape(n, max_ids)
-    n_seg = np.asarray(n_seg).reshape(n)
-    if int(n_seg.max(initial=0)) > max_ids:
-        raise ValueError(
-            f"a shard holds {int(n_seg.max())} unique labels > max_ids={max_ids}"
-        )
     per_shard = []
     for s in range(n):  # host merge in ascending-x order keeps rep = first hit
         valid = ids[s] != 0
@@ -348,40 +364,41 @@ def pair_counts_sharded(
     assert max(a.max(initial=0), b.max(initial=0)) < 2**31
 
     spec = P(axis_name)
-
-    @partial(shard_map, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
-             check_vma=False)
-    def run(la, lb):
-        a_o, b_o, c_o, n_p = pair_counts_device(
-            la.astype(jnp.int32), lb.astype(jnp.int32), max_pairs
-        )
-        return a_o, b_o, c_o, n_p.reshape(1)
-
     sh = NamedSharding(mesh, spec)
-    a_out, b_out, cnt, n_pairs = jax.jit(run)(
-        jax.device_put(jnp.asarray(a.astype(np.int32)), sh),
-        jax.device_put(jnp.asarray(b.astype(np.int32)), sh),
-    )
-    a_out = np.asarray(a_out).reshape(n, max_pairs)
-    b_out = np.asarray(b_out).reshape(n, max_pairs)
-    cnt = np.asarray(cnt).reshape(n, max_pairs)
-    n_pairs = np.asarray(n_pairs).reshape(n)
-    if int(n_pairs.max(initial=0)) > max_pairs:
-        raise ValueError(
-            f"a shard holds {int(n_pairs.max())} unique pairs > max_pairs={max_pairs}"
-        )
-    agg: Dict[Tuple[int, int], int] = {}
-    for s in range(n):
-        ok = (a_out[s] != 0) & (b_out[s] != 0)
-        for x, y, c in zip(a_out[s][ok], b_out[s][ok], cnt[s][ok]):
-            agg[(int(x), int(y))] = agg.get((int(x), int(y)), 0) + int(c)
-    if not agg:
-        return (
-            np.zeros(0, a.dtype), np.zeros(0, b.dtype), np.zeros(0, np.int64),
-        )
-    keys = sorted(agg)
+    da = jax.device_put(jnp.asarray(a.astype(np.int32)), sh)
+    db = jax.device_put(jnp.asarray(b.astype(np.int32)), sh)
+
+    while True:  # grow the padded pair table until every shard fits
+        cap = max_pairs
+
+        @partial(shard_map, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+                 check_vma=False)
+        def run(la, lb):
+            a_o, b_o, c_o, n_p = pair_counts_device(
+                la.astype(jnp.int32), lb.astype(jnp.int32), cap
+            )
+            return a_o, b_o, c_o, n_p.reshape(1)
+
+        a_out, b_out, cnt, n_pairs = jax.jit(run)(da, db)
+        n_pairs = np.asarray(n_pairs).reshape(n)
+        worst = int(n_pairs.max(initial=0))
+        if worst <= max_pairs:
+            break
+        max_pairs = 1 << int(np.ceil(np.log2(worst)))
+    max_pairs = cap
+    a_out = np.asarray(a_out).reshape(-1)
+    b_out = np.asarray(b_out).reshape(-1)
+    cnt = np.asarray(cnt).reshape(-1)
+    # vectorized cross-shard merge: pack (a, b) into one int64 key, then a
+    # single unique + bincount pass
+    ok = (a_out != 0) & (b_out != 0)
+    if not ok.any():
+        return np.zeros(0, a.dtype), np.zeros(0, b.dtype), np.zeros(0, np.int64)
+    keys = (a_out[ok].astype(np.int64) << 32) | b_out[ok].astype(np.int64)
+    uk, inv = np.unique(keys, return_inverse=True)
+    counts = np.bincount(inv, weights=cnt[ok].astype(np.float64)).astype(np.int64)
     return (
-        np.array([k[0] for k in keys], a.dtype),
-        np.array([k[1] for k in keys], b.dtype),
-        np.array([agg[k] for k in keys], np.int64),
+        (uk >> 32).astype(a.dtype),
+        (uk & 0xFFFFFFFF).astype(b.dtype),
+        counts,
     )

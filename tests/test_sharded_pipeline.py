@@ -78,6 +78,36 @@ def test_object_properties_sharded_identical(rng, sp_mesh):
     assert np.array_equal(c_s, c_m)
 
 
+def test_object_properties_sharded_dense_labels(rng, sp_mesh):
+    """A dense segmentation holding far more than 4096 unique labels per
+    shard must not hit a hard table cap: the padded device tables grow
+    (one recompile) until every shard fits."""
+    from syconn_tpu.ops.props import object_properties_arrays, pair_counts
+    from syconn_tpu.parallel.sharded import (
+        object_properties_sharded,
+        pair_counts_sharded,
+    )
+
+    sh = (64, 96, 96)
+    # ~6100 unique labels per 8-voxel-thick x-shard (> the old 4096 cap)
+    vol = (np.arange(np.prod(sh), dtype=np.uint32).reshape(sh) // 12) + 1
+    ids_s, rep_s, bb_s, sz_s = object_properties_arrays(vol)
+    ids_m, rep_m, bb_m, sz_m = object_properties_sharded(vol, sp_mesh)
+    assert len(ids_s) > 8 * 4096
+    assert np.array_equal(ids_s.astype(np.uint64), ids_m.astype(np.uint64))
+    assert np.array_equal(rep_s, rep_m)
+    assert np.array_equal(bb_s, bb_m)
+    assert np.array_equal(sz_s, sz_m)
+
+    other = (vol % 7).astype(np.uint32) + 1  # one dense pair per vol label
+    a_s, b_s, c_s = pair_counts(vol, other)
+    a_m, b_m, c_m = pair_counts_sharded(vol, other, sp_mesh)
+    assert len(a_s) > 8 * 4096
+    assert np.array_equal(a_s.astype(np.uint64), a_m.astype(np.uint64))
+    assert np.array_equal(b_s.astype(np.uint64), b_m.astype(np.uint64))
+    assert np.array_equal(c_s, c_m)
+
+
 def test_object_extraction_sharded_identical(tmp_path, working_dir, sp_mesh):
     """from_probabilities_to_kd with a mesh == serial, voxel-exact,
     including the erosion-seeded watershed path and cross-chunk stitching."""
@@ -158,7 +188,6 @@ def test_contact_extraction_sharded_identical(tmp_path, working_dir, sp_mesh):
     # detection (+ background-only closing/dilation applied per chunk is
     # deterministic, so compare against a serial extract run)
     cs_shard = ChunkedVolume.open(
-        str(tmp_path / "wd_cs") if False else
         f"{cfg.working_dir}/knossosdatasets/cs_seg"
     ).load_seg(size=sh)
     sd_syn = SegmentationDataset("syn", working_dir=cfg.working_dir)
