@@ -118,3 +118,77 @@ def test_full_init_and_ssd(toy_pipeline_wd, working_dir):
     # sv graph round trip
     g = ssv.load_sv_graph()
     assert set(g.nodes()) == {int(s) for s in ssv.sv_ids}
+
+
+def test_split_ssv_roundtrip(toy_pipeline_wd, working_dir):
+    """assemble -> split: attributes, sv-graphs, skeleton and dataset
+    caches stay consistent (reference: syconn/proc/ssd_proc.py:375)."""
+    import numpy as np
+
+    from syconn_tpu.exec.exec_init import (
+        init_cell_subcell_sds,
+        run_create_neuron_ssd,
+        run_create_rag,
+    )
+    from syconn_tpu.proc.ssd_proc import split_ssv
+    from syconn_tpu.reps.segmentation import SegmentationDataset
+
+    init_cell_subcell_sds(chunk_size=(64, 64, 64), overwrite=True)
+    run_create_rag()
+    ssd = run_create_neuron_ssd()
+
+    # pick a cell with >= 2 SVs
+    cand = [i for i in ssd.ssv_ids if len(ssd.mapping_dict[int(i)]) >= 2]
+    assert cand, "toy world must contain a multi-SV cell"
+    orig_id = int(cand[0])
+    ssv = ssd.get_super_segmentation_object(orig_id)
+    ssv.load_attr_dict()
+    orig_svs = sorted(int(s) for s in ssv.sv_ids)
+    orig_size = int(ssv.size)
+    # give the cell a skeleton spanning its SV rep coords
+    sd_sv = SegmentationDataset("sv", working_dir=working_dir)
+    reps = dict(zip(sd_sv.ids.tolist(), sd_sv.rep_coords))
+    nodes = np.array([reps[s] for s in orig_svs], np.float32)
+    ssv.skeleton = {
+        "nodes": nodes,
+        "edges": np.array([[i, i + 1] for i in range(len(nodes) - 1)], np.int64),
+        "diameters": np.ones(len(nodes)),
+    }
+    ssv.save_skeleton()
+
+    split_set = orig_svs[: len(orig_svs) // 2] or orig_svs[:1]
+    s1, s2 = split_ssv(ssv, split_set)
+
+    # membership partitions the original
+    got1 = sorted(int(s) for s in s1.sv_ids)
+    got2 = sorted(int(s) for s in s2.sv_ids)
+    assert got2 == sorted(split_set)
+    assert sorted(got1 + got2) == orig_svs
+
+    # attributes re-derived consistently
+    assert int(s1.attr_dict["size"]) + int(s2.attr_dict["size"]) == orig_size
+    for s in (s1, s2):
+        assert s.attr_dict["bounding_box"].shape == (2, 3)
+        g = s.load_sv_graph()
+        assert set(g.nodes()) == {int(x) for x in s.sv_ids}
+
+    # skeleton nodes partitioned by side
+    n1 = 0 if not s1.load_skeleton() else len(s1.skeleton["nodes"])
+    n2 = 0 if not s2.load_skeleton() else len(s2.skeleton["nodes"])
+    assert n1 + n2 == len(nodes)
+
+    # dataset bookkeeping: mapping dict, caches, reverse index
+    ssd2 = type(ssd)(working_dir=working_dir)
+    assert orig_id not in set(int(i) for i in ssd2.ssv_ids)
+    assert {int(s1.id), int(s2.id)} <= set(int(i) for i in ssd2.ssv_ids)
+    back = ssd2.sv2ssv_ids(np.asarray(split_set, np.uint64))
+    assert all(int(b) == int(s2.id) for b in back)
+    # tombstone points to the new cells
+    old = ssd2.get_super_segmentation_object(orig_id)
+    old.load_attr_dict()
+    assert tuple(old.attr_dict.get("split_into", ())) == (int(s1.id), int(s2.id))
+    # caches aligned with ids
+    ids = ssd2.load_numpy_data("id")
+    sizes = ssd2.load_numpy_data("size")
+    assert len(ids) == len(sizes)
+    assert int(sizes[list(ids).index(s1.id)]) == int(s1.attr_dict["size"])
