@@ -56,16 +56,22 @@ def init_cell_subcell_sds(
 ):
     """Organelle extraction + fused SV/organelle property-mesh scan
     (reference: exec_init.py:213)."""
+    from ..utils.stepcache import StepCache
+
     lg = initialize_logging("exec_init")
     cfg = global_params.config
     organelles = list(cfg["process_cell_organelles"])
-    # step 1: prob maps -> instance segmentations per organelle
+    # step 1: prob maps -> instance segmentations per organelle. A target
+    # that exists but whose step cache lacks the completion marker came
+    # from a crashed run — rerun it (completed chunks resume from cache).
     for co in organelles:
         target = cfg.kd_organelle_seg_paths[co]
-        if os.path.isdir(target) and not overwrite:
-            lg.info("organelle seg %s exists, skipping extraction", co)
+        name = os.path.basename(os.path.normpath(target))
+        done = StepCache(f"objext_{name}_relabel").is_complete()
+        if os.path.isdir(target) and not overwrite and done:
+            lg.info("organelle seg %s exists and is complete, skipping", co)
             continue
-        stats = kd_init(co, chunk_size=chunk_size)
+        stats = kd_init(co, chunk_size=chunk_size, overwrite=overwrite)
         lg.info("extracted %s: %s", co, stats)
     # step 2: fused property + mapping + mesh scan
     counts = map_subcell_extract_props(
@@ -75,6 +81,7 @@ def init_cell_subcell_sds(
         n_folders_fs_sc=n_folders_fs_sc,
         chunk_shape=chunk_size,
         generate_sv_meshes=generate_sv_meshes,
+        overwrite=overwrite,
     )
     # step 3: dataset-level caches
     for t in ["sv"] + organelles:

@@ -42,9 +42,11 @@ def run_syn_generation(
     from ..proc.ssd_proc import map_synssv_objects
     from ..reps.segmentation import SegmentationDataset
 
-    stats = extract_contact_sites(chunk_shape=chunk_size, n_folders_fs=n_folders_fs)
+    stats = extract_contact_sites(
+        chunk_shape=chunk_size, n_folders_fs=n_folders_fs, overwrite=overwrite
+    )
     lg.info("contact sites: %s", stats)
-    stats2 = combine_and_split_syn(n_folders_fs=n_folders_fs)
+    stats2 = combine_and_split_syn(n_folders_fs=n_folders_fs, overwrite=overwrite)
     lg.info("syn_ssv: %s", stats2)
     map_objects_from_synssv_partners()
     classify_synssv_objects()

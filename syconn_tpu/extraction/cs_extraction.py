@@ -49,6 +49,7 @@ def extract_contact_sites(
     mag: int = 1,
     n_folders_fs: int = 100,
     mesh=None,
+    overwrite: bool = True,
 ) -> Dict:
     """Extract 'cs' and 'syn' SegmentationDatasets + label volumes.
 
@@ -58,8 +59,16 @@ def extract_contact_sites(
     device program with the stencil halo exchanged over the interconnect
     (parallel/sharded.detect_cs_slab_sharded; reference fan-out:
     syconn/extraction/cs_extraction_steps.py:44). Outputs are identical to
-    the serial path; remainder chunks run serially.
+    the serial path.
+
+    With ``overwrite=False`` a crashed run resumes per chunk: each chunk's
+    extracted properties persist in the step cache after its label chunks
+    are durably written (reference worker idempotency:
+    syconn/extraction/cs_processing_steps.py:455).
     """
+    from ..utils.stepcache import StepCache, cached_map
+
+    cache = StepCache("cs_extract", overwrite=overwrite)
     cfg = global_params.config
     kd = kd_factory(cfg.kd_seg_path)
     sh = kd.mag_shape(mag)
@@ -159,6 +168,14 @@ def extract_contact_sites(
         size = np.minimum(cs, sh - off)
         return kd.load_seg(offset=off - halo, size=size + 2 * halo, mag=mag)
 
+    def _ckey(cix):
+        return f"{cix[0]}_{cix[1]}_{cix[2]}"
+
+    def _post_cached(cix, cs_seg):
+        r = _post(cix, cs_seg)
+        cache.store(_ckey(cix), r)
+        return r
+
     # ------------------------------------------------- sharded slab path
     if mesh is None:
         from ..parallel.sharded import mesh_from_config
@@ -178,7 +195,15 @@ def extract_contact_sites(
         chunk_ixs = []
         poster = ThreadPoolExecutor(max_workers=n_workers or 8)
         post_futs = []
+        n_resumed = 0
         for cx0, cy, cz in slabs:
+            in_range = [
+                (cx0 + s, cy, cz) for s in range(n_sp) if cx0 + s < grid[0]
+            ]
+            if all(cache.done(_ckey(c)) for c in in_range):
+                slab_post_results.extend(cache.load(_ckey(c)) for c in in_range)
+                n_resumed += len(in_range)
+                continue
             off = np.array([cx0 * cs[0], cy * cs[1], cz * cs[2]], np.int64)
             size = np.array(
                 [n_sp * cs[0], min(cs[1], sh[1] - off[1]), min(cs[2], sh[2] - off[2])],
@@ -187,23 +212,32 @@ def extract_contact_sites(
             seg = kd.load_seg(offset=off - halo, size=size + 2 * halo, mag=mag)
             if seg.max(initial=0) >= 2**31:
                 # >31-bit SV IDs: route this slab through the serial path
-                chunk_ixs.extend(
-                    (cx0 + dx, cy, cz) for dx in range(n_sp) if cx0 + dx < grid[0]
-                )
+                chunk_ixs.extend(in_range)
                 continue
             packed = detect_cs_slab_sharded(
                 seg, mesh, stencil=tuple(int(s) for s in stencil)
             )
-            for s in range(n_sp):
-                cx = cx0 + s
-                if cx >= grid[0]:
-                    break
-                sx = min(int(cs[0]), int(sh[0] - cx * cs[0]))
+            for s, cix in enumerate(in_range):
+                sx = min(int(cs[0]), int(sh[0] - cix[0] * cs[0]))
                 cs_seg = packed[s * cs[0] : s * cs[0] + sx]
-                post_futs.append(poster.submit(_post, (cx, cy, cz), cs_seg))
-        slab_post_results = [f.result() for f in post_futs]
+                post_futs.append(poster.submit(_post_cached, cix, cs_seg))
+        slab_post_results.extend(f.result() for f in post_futs)
         poster.shutdown()
+        if n_resumed:
+            log.info(
+                "resume: %d completed chunks loaded from the step cache",
+                n_resumed,
+            )
 
+    cached_results = [
+        cache.load(_ckey(c)) for c in chunk_ixs if cache.done(_ckey(c))
+    ]
+    chunk_ixs = [c for c in chunk_ixs if not cache.done(_ckey(c))]
+    if cached_results:
+        log.info(
+            "resume: %d completed chunks loaded from the step cache",
+            len(cached_results),
+        )
     if device_path:
         # pipelined: loader threads prefetch; the device detects (async,
         # depth 2); host threads do closing/typing/writes concurrently —
@@ -214,7 +248,7 @@ def extract_contact_sites(
         from ..ops.contacts_jax import CsDispatcher
 
         dispatcher = CsDispatcher(stencil=tuple(int(s) for s in stencil))
-        loader = ThreadPoolExecutor(max_workers=min(8, len(chunk_ixs)))
+        loader = ThreadPoolExecutor(max_workers=min(8, max(1, len(chunk_ixs))))
         poster = ThreadPoolExecutor(max_workers=n_workers or 8)
         prefetch = 4
         load_futs = {
@@ -231,22 +265,23 @@ def extract_contact_sites(
             if seg.max() < 2**31:
                 inflight.append((i, dispatcher.dispatch(seg)))
             else:
-                post_futs.append(poster.submit(_post, chunk_ixs[i], _detect_host(seg)))
+                post_futs.append(poster.submit(_post_cached, chunk_ixs[i], _detect_host(seg)))
             while len(inflight) > 2:
                 j, handle = inflight.popleft()
-                post_futs.append(poster.submit(_post, chunk_ixs[j], dispatcher.fetch(handle)))
+                post_futs.append(poster.submit(_post_cached, chunk_ixs[j], dispatcher.fetch(handle)))
         while inflight:
             j, handle = inflight.popleft()
-            post_futs.append(poster.submit(_post, chunk_ixs[j], dispatcher.fetch(handle)))
+            post_futs.append(poster.submit(_post_cached, chunk_ixs[j], dispatcher.fetch(handle)))
         results = [f.result() for f in post_futs]
         loader.shutdown()
         poster.shutdown()
     else:
 
         def work(cix):
-            return _post(cix, _detect_host(_load(cix)))
+            return _post_cached(cix, _detect_host(_load(cix)))
 
         results = map_parallel(work, chunk_ixs, n_workers=n_workers, desc="extract_contact_sites")
+    results = cached_results + results
 
     results = slab_post_results + results
 
@@ -296,6 +331,7 @@ def extract_contact_sites(
     )
     n_cs = sum(1 for k, v in cs_sz.items() if v >= min_cs)
     n_syn = sum(1 for k, v in syn_sz.items() if v >= min_syn)
+    cache.mark_complete()
     log.info("extract_contact_sites: %d cs, %d syn fragments", n_cs, n_syn)
     return {"n_cs": n_cs, "n_syn": n_syn}
 

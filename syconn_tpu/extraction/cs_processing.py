@@ -119,9 +119,17 @@ def _load_syn_voxels(sd_syn: SegmentationDataset, syn_id: int) -> np.ndarray:
 def combine_and_split_syn(
     n_workers: Optional[int] = None,
     n_folders_fs: int = 100,
+    overwrite: bool = True,
 ) -> Dict:
     """Agglomerate SV-level syn fragments into cell-level ``syn_ssv``
-    objects (reference: :320). Returns counts."""
+    objects (reference: :320). Returns counts.
+
+    With ``overwrite=False`` completed SSV-pair groups resume from the step
+    cache (reference skip semantics: ``if syn_ssv_id not in attr_dc``,
+    syconn/extraction/cs_processing_steps.py:455)."""
+    from ..utils.stepcache import StepCache, cached_map
+
+    pair_cache = StepCache("syn_agglomerate", overwrite=overwrite)
     cfg = global_params.config
     wd = cfg.working_dir
     sd_syn = SegmentationDataset("syn", working_dir=wd)
@@ -187,8 +195,13 @@ def combine_and_split_syn(
         return out
 
     all_objs: List[dict] = []
-    for out in map_parallel(work, sorted(groups.items()), n_workers=n_workers, desc="combine_and_split_syn"):
+    for out in cached_map(
+        work, sorted(groups.items()), pair_cache,
+        key_fn=lambda kv: f"{int(kv[0][0])}_{int(kv[0][1])}",
+        n_workers=n_workers, desc="combine_and_split_syn",
+    ):
         all_objs.extend(out)
+    pair_cache.mark_complete()
     # deterministic ids by (partner pair, rep coord)
     all_objs.sort(key=lambda o: (int(o["neuron_partners"][0]), int(o["neuron_partners"][1]), tuple(o["rep_coord"])))
     sd_out = SegmentationDataset(

@@ -25,6 +25,7 @@ release the GIL); faces travel in memory, not over NFS.
 from __future__ import annotations
 
 import logging
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -145,6 +146,7 @@ def from_probabilities_to_kd(
     n_workers: Optional[int] = None,
     mag: int = 1,
     mesh=None,
+    overwrite: bool = True,
 ) -> Dict:
     """Full chunked extraction for one type; returns stats incl. n_objects.
 
@@ -152,9 +154,19 @@ def from_probabilities_to_kd(
     runs the filtering chain of ``sp`` consecutive x-chunks at a time as ONE
     sharded device program (parallel/sharded.segment_slab_sharded) — the
     interior halos travel over the interconnect, matching the reference's
-    chunk fan-out (object_extraction_steps.py:42) with identical outputs;
-    remainder chunks fall back to the serial per-chunk path.
+    chunk fan-out (object_extraction_steps.py:42) with identical outputs.
+
+    With ``overwrite=False`` a crashed run resumes at worker granularity:
+    per-chunk segmentation results and per-chunk relabel markers persist in
+    the working dir's step cache (utils/stepcache; reference worker
+    idempotency: syconn/proc/sd_proc.py:689-726), so completed chunks are
+    skipped and the final volume is byte-identical to an uninterrupted run.
     """
+    from ..utils.stepcache import StepCache, cached_map
+
+    step_name = os.path.basename(os.path.normpath(target_kd_path))
+    seg_cache = StepCache(f"objext_{step_name}_segment", overwrite=overwrite)
+    relabel_cache = StepCache(f"objext_{step_name}_relabel", overwrite=overwrite)
     src = kd_factory(src_kd_path)
     if mesh is None:
         from ..parallel.sharded import mesh_from_config
@@ -206,6 +218,9 @@ def from_probabilities_to_kd(
             face_list.append((enc[tuple(sl_first)].copy(), enc[tuple(sl_last)].copy()))
         return cix, ids[ids != 0], face_list
 
+    def _ckey(cix):
+        return f"{cix[0]}_{cix[1]}_{cix[2]}"
+
     def work_segment(cix):
         off = np.array(cix) * cs
         size = np.minimum(cs, sh - off)
@@ -226,8 +241,22 @@ def from_probabilities_to_kd(
         slabs, _ = slab_runs((int(grid[0]), int(grid[1]), int(grid[2])), n_sp, pad=True)
         serial_chunks = []
 
+        def slab_chunks(slab):
+            return [
+                (slab[0] + s, slab[1], slab[2])
+                for s in range(n_sp)
+                if slab[0] + s < grid[0]
+            ]
+
         def work_slab(slab):
             cx0, cy, cz = slab
+            chunks = slab_chunks(slab)
+            if all(seg_cache.done(_ckey(c)) for c in chunks):
+                log.info(
+                    "resume: slab %s (%d chunks) loaded from the step cache",
+                    slab, len(chunks),
+                )
+                return [seg_cache.load(_ckey(c)) for c in chunks]
             off = np.array([cx0 * cs[0], cy * cs[1], cz * cs[2]], np.int64)
             size = np.array(
                 [n_sp * cs[0], min(cs[1], sh[1] - off[1]), min(cs[2], sh[2] - off[2])],
@@ -238,16 +267,15 @@ def from_probabilities_to_kd(
                 prob, thresh_uint8, morph_ops, struct, mesh, int(halo), sigma=sigma
             )
             out = []
-            for s in range(n_sp):
-                cx = cx0 + s
-                if cx >= grid[0]:
-                    break
+            for s, cix in enumerate(chunks):
                 csize = np.array(
-                    [min(int(cs[0]), int(sh[0] - cx * cs[0])), size[1], size[2]],
+                    [min(int(cs[0]), int(sh[0] - cix[0] * cs[0])), size[1], size[2]],
                     np.int64,
                 )
                 lab = labels_from_masks(masks[s], eroded[s], n_tr, min_seed_vx)
-                out.append(finish_chunk((cx, cy, cz), lab, csize))
+                r = finish_chunk(cix, lab, csize)
+                seg_cache.store(_ckey(cix), r)
+                out.append(r)
             return out
 
         # the device is a single resource: run slabs sequentially (each is
@@ -255,8 +283,9 @@ def from_probabilities_to_kd(
         for slab in slabs:
             slab_results.extend(work_slab(slab))
 
-    for cix, ids, face_list in slab_results + map_parallel(
-        work_segment, serial_chunks, n_workers=n_workers, desc="object_segmentation"
+    for cix, ids, face_list in slab_results + cached_map(
+        work_segment, serial_chunks, seg_cache, key_fn=_ckey,
+        n_workers=n_workers, desc="object_segmentation",
     ):
         uniq_ids.append(ids)
         faces[cix] = face_list
@@ -275,15 +304,23 @@ def from_probabilities_to_kd(
     merge_map = merge_pairs_to_map(all_labels, pair_arr, compact=True)
     n_objects = len(set(merge_map.values()))
 
-    # step 4: read back, relabel, rewrite (+ requested mag pyramid)
+    # step 4: read back, relabel, rewrite (+ requested mag pyramid). The
+    # relabel is not idempotent (compact labels are unknown to merge_map),
+    # so per-chunk markers gate it: a resumed run must not relabel twice.
     def work_write(cix):
         off = np.array(cix) * cs
         size = np.minimum(cs, sh - off)
         enc = target.load_seg(offset=off, size=size, mag=mag)
         final = relabel_vol_nonexist2zero(enc, merge_map)
         target.save_seg(final, offset=off, mags=(mag,), data_mag=mag)
+        return True
 
-    map_parallel(work_write, chunk_ixs, n_workers=n_workers, desc="export_seg")
+    cached_map(
+        work_write, chunk_ixs, relabel_cache, key_fn=_ckey,
+        n_workers=n_workers, desc="export_seg",
+    )
+    seg_cache.mark_complete()
+    relabel_cache.mark_complete()
     log.info(
         "object extraction %s: %d chunks, %d objects", target_kd_path, n_chunks, n_objects
     )

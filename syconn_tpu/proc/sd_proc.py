@@ -51,6 +51,7 @@ def map_subcell_extract_props(
     mag: int = 1,
     mesh_downsampling: Optional[Dict[str, Sequence[int]]] = None,
     device_mesh=None,
+    overwrite: bool = True,
 ) -> Dict:
     """Extract all SegmentationDatasets (sv + organelles) in one volume scan.
 
@@ -135,7 +136,17 @@ def map_subcell_extract_props(
         res["meshes"] = meshes
         return res
 
-    chunk_results = map_parallel(work_chunk, chunk_ixs, n_workers=n_workers, desc="map_subcell_extract_props")
+    # worker-level resume: per-chunk scan results persist in the step cache
+    # (reference idempotency: syconn/proc/sd_proc.py:689-726); a rerun with
+    # overwrite=False skips completed chunks
+    from ..utils.stepcache import StepCache, cached_map
+
+    cache = StepCache("sd_props", overwrite=overwrite)
+    chunk_results = cached_map(
+        work_chunk, chunk_ixs, cache,
+        key_fn=lambda c: f"{c[0]}_{c[1]}_{c[2]}",
+        n_workers=n_workers, desc="map_subcell_extract_props",
+    )
 
     # ------------------------------------------------------------ merge phase
     counts = {}
@@ -184,6 +195,7 @@ def map_subcell_extract_props(
             seg_path, n_workers, sc_sizes,
         )
         counts[t] = len(ids)
+    cache.mark_complete()
     log.info("SD generation done: %s", counts)
     return counts
 
