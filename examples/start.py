@@ -142,6 +142,8 @@ def main():
         return generate_toy_world(shape=tuple(args.shape),
                                   n_cells=args.n_cells, seed=args.seed)
 
+    from syconn_tpu.io import resident
+
     world = None
     if args.overwrite or not os.path.isdir(cfg.kd_seg_path):
         world = make_world()
@@ -149,6 +151,12 @@ def main():
                                   chunk_shape=chunk_size)
         kd.save_raw(world["raw"], mags=[1, 2, 4])
         kd.save_seg(world["seg"], mags=[1, 2])
+        # register the working set HBM-resident: dense prediction, object
+        # extraction and contact detection then slice from device memory
+        # instead of re-streaming volumes over the link (disk stays the
+        # durability layer)
+        resident.put(cfg.kd_seg_path, "raw", world["raw"])
+        resident.put(cfg.kd_seg_path, "seg", world["seg"])
         predicted_cos = {"mi", "vc", "sj"} if args.predict_organelles else set()
         for co in organelles + ["sj", "sym", "asym"]:
             if co in predicted_cos:
@@ -156,7 +164,21 @@ def main():
             cv = ChunkedVolume.create(getattr(cfg, f"kd_{co}_path"), scale=scale,
                                       boundary=world["seg"].shape, chunk_shape=chunk_size)
             cv.save_raw(world[co], mags=[1, 2])
+            if co in ("sj", "sym", "asym") or co in organelles:
+                resident.put(getattr(cfg, f"kd_{co}_path"), "raw", world[co])
         save_svgraph(world["rag"], cfg.init_svgraph_path)
+    elif os.path.isdir(cfg.kd_seg_path) and resident.enabled():
+        # reused working dir: hydrate the resident store from disk once
+        kd = ChunkedVolume.open(cfg.kd_seg_path)
+        resident.put(cfg.kd_seg_path, "raw", kd.load_raw())
+        seg_host = kd.load_seg()
+        if seg_host.max(initial=0) < 2**31:
+            resident.put(cfg.kd_seg_path, "seg", seg_host)
+        del seg_host
+        for co in organelles + ["sj", "sym", "asym"]:
+            p = getattr(cfg, f"kd_{co}_path")
+            if os.path.isdir(p):
+                resident.put(p, "raw", ChunkedVolume.open(p).load_raw())
         if args.world == "neuron":
             # persist the construction ground truth for quality scoring
             sv_ids = np.asarray(sorted(world["sv2cell"]), np.uint64)

@@ -238,7 +238,46 @@ def extract_contact_sites(
             "resume: %d completed chunks loaded from the step cache",
             len(cached_results),
         )
-    if device_path:
+
+    # ------------------------------------------- HBM-resident device path
+    # the segmentation already lives in device memory: windows are sliced
+    # in HBM (zero upload) and contact voxels come back sparse — takes
+    # precedence over both the upload-dispatcher and the host kernel
+    res_seg = None
+    if chunk_ixs and mag == 1:
+        from ..io import resident as _resident
+
+        res_seg = _resident.get(cfg.kd_seg_path, "seg", mag)
+    if res_seg is not None and chunk_ixs:
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..ops.contacts_jax import ResidentCsDetector
+
+        det = ResidentCsDetector(
+            res_seg, chunk=tuple(int(c) for c in cs),
+            stencil=tuple(int(s) for s in stencil),
+        )
+        poster = ThreadPoolExecutor(max_workers=n_workers or 8)
+        post_futs = []
+        inflight: "deque" = deque()
+
+        def _finish(handle):
+            cix = handle[0]
+            packed, ovf = det.fetch(handle)
+            if ovf:
+                packed = _detect_host(_load(cix))
+            post_futs.append(poster.submit(_post_cached, cix, packed))
+
+        for cix in chunk_ixs:
+            inflight.append(det.dispatch(cix))
+            while len(inflight) > 2:
+                _finish(inflight.popleft())
+        while inflight:
+            _finish(inflight.popleft())
+        results = [f.result() for f in post_futs]
+        poster.shutdown()
+    elif device_path:
         # pipelined: loader threads prefetch; the device detects (async,
         # depth 2); host threads do closing/typing/writes concurrently —
         # replaces lock-serialized per-thread device calls

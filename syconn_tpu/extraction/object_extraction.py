@@ -221,9 +221,29 @@ def from_probabilities_to_kd(
     def _ckey(cix):
         return f"{cix[0]}_{cix[1]}_{cix[2]}"
 
+    # HBM-resident probability map: the blur/threshold/morphology chain
+    # runs on device from in-HBM windows; only 2-bit packed masks cross
+    # the link. Falls through to disk + host chain when not resident.
+    res_segmenter = None
+    if mag == 1 and struct is not None:
+        from ..io import resident as _resident
+
+        res_prob = _resident.get(src_kd_path, "raw", mag)
+        if res_prob is not None:
+            from ..ops.morphology_jax import ResidentSegmenter
+
+            res_segmenter = ResidentSegmenter(
+                res_prob, tuple(int(c) for c in cs), int(halo),
+                thresh_uint8, morph_ops, struct, sigma=sigma,
+            )
+
     def work_segment(cix):
         off = np.array(cix) * cs
         size = np.minimum(cs, sh - off)
+        if res_segmenter is not None:
+            mask, eroded, n_tr = res_segmenter.fetch(res_segmenter.dispatch(cix))
+            lab = labels_from_masks(mask, eroded, n_tr, min_seed_vx)
+            return finish_chunk(cix, lab, size)
         prob = src.load_raw(offset=off - halo, size=size + 2 * halo, mag=mag)
         lab = object_segmentation_chunk(
             prob, thresh_uint8, morph_ops, struct, min_seed_vx, sigma=sigma

@@ -48,6 +48,68 @@ def _dctx() -> zstd.ZstdDecompressor:
 
 _CHANNEL_DTYPES = {"raw": np.uint8, "seg": np.uint64}
 
+# ------------------------------------------------------ decompressed cache
+# Chunk+halo reads touch up to 8 neighboring chunk files, so sequential
+# chunked kernels decompress every chunk ~8x; on a single-core host the
+# zstd work dominated contact extraction (profiled round 3). A process-wide
+# LRU of decompressed chunks (keyed by file path) makes each chunk pay its
+# decompression once. Invalidated on write. Budget via env
+# SYCONN_TPU_CHUNK_CACHE_GB (default 8; 0 disables).
+_cc_lock = threading.Lock()
+_cc_store: "dict[str, np.ndarray]" = {}
+_cc_bytes = 0
+
+
+def _cc_budget() -> int:
+    import os as _os
+
+    try:
+        gb = float(_os.environ.get("SYCONN_TPU_CHUNK_CACHE_GB", "8"))
+    except ValueError:
+        gb = 8.0
+    return int(gb * (1 << 30))
+
+
+def _chunk_cache_get(path: str) -> Optional[np.ndarray]:
+    with _cc_lock:
+        arr = _cc_store.get(path)
+        if arr is not None:
+            # move-to-end = LRU recency
+            del _cc_store[path]
+            _cc_store[path] = arr
+        return arr
+
+
+def _chunk_cache_put(path: str, arr: np.ndarray) -> None:
+    global _cc_bytes
+    budget = _cc_budget()
+    if budget <= 0 or arr.nbytes > budget:
+        return
+    with _cc_lock:
+        old = _cc_store.pop(path, None)
+        if old is not None:
+            _cc_bytes -= old.nbytes
+        while _cc_bytes + arr.nbytes > budget and _cc_store:
+            lru = next(iter(_cc_store))
+            _cc_bytes -= _cc_store.pop(lru).nbytes
+        _cc_store[path] = arr
+        _cc_bytes += arr.nbytes
+
+
+def _chunk_cache_invalidate(path: str) -> None:
+    global _cc_bytes
+    with _cc_lock:
+        old = _cc_store.pop(path, None)
+        if old is not None:
+            _cc_bytes -= old.nbytes
+
+
+def clear_chunk_cache() -> None:
+    global _cc_bytes
+    with _cc_lock:
+        _cc_store.clear()
+        _cc_bytes = 0
+
 
 def _cdiv(a, b):
     return -(-a // b)
@@ -166,20 +228,43 @@ class ChunkedVolume:
 
     def _read_chunk(self, channel: str, mag: int, cix, dtype) -> Optional[np.ndarray]:
         p = self._chunk_path(channel, mag, cix)
+        cached = _chunk_cache_get(p)
+        if cached is not None:
+            return cached
         if not os.path.isfile(p):
             return None
         with open(p, "rb") as f:
             buf = f.read()
         cs = tuple(self.chunk_shape)
-        return np.frombuffer(_dctx().decompress(buf), dtype=dtype).reshape(cs)
+        raw = _dctx().decompress(buf)
+        n_vox = int(np.prod(cs))
+        itemsize = len(raw) // n_vox
+        if itemsize == np.dtype(dtype).itemsize:
+            out = np.frombuffer(raw, dtype=dtype).reshape(cs)
+        else:
+            # seg chunks are stored in the narrowest unsigned dtype that
+            # holds their max label (2-8x less zstd work per load); the
+            # stored width is recovered from the decompressed byte count
+            narrow = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}[itemsize]
+            out = np.frombuffer(raw, dtype=narrow).reshape(cs).astype(dtype)
+        _chunk_cache_put(p, out)
+        return out
 
     def _write_chunk(self, channel: str, mag: int, cix, data: np.ndarray):
         p = self._chunk_path(channel, mag, cix)
         os.makedirs(os.path.dirname(p), exist_ok=True)
+        data = np.ascontiguousarray(data)
+        if channel == "seg" and data.dtype.itemsize > 1:
+            mx = int(data.max(initial=0))
+            for narrow in (np.uint8, np.uint16, np.uint32):
+                if mx <= np.iinfo(narrow).max:
+                    data = np.ascontiguousarray(data.astype(narrow))
+                    break
         tmp = p + f".tmp{os.getpid()}_{threading.get_ident()}"
         with open(tmp, "wb") as f:
-            f.write(_cctx().compress(np.ascontiguousarray(data).tobytes()))
+            f.write(_cctx().compress(data.tobytes()))
         os.replace(tmp, p)
+        _chunk_cache_invalidate(p)
 
     # ------------------------------------------------------------ region IO
     def _load(self, channel: str, offset, size, mag: int) -> np.ndarray:

@@ -219,6 +219,93 @@ class CsDispatcher:
         return packed
 
 
+class ResidentCsDetector:
+    """Contact detection over an HBM-resident segmentation: per-chunk
+    windows are sliced in device memory (zero upload) and results come back
+    *sparse* — contact voxels are a few percent of a chunk, so the readback
+    is (flat index, lo, hi) triples compacted on device instead of an
+    8 B/voxel dense grid (10-50x less link traffic).
+
+    ``seg_dev``: int32 (X, Y, Z) device array (labels < 2^31).
+    One jitted program serves every chunk (the volume is padded to a chunk
+    multiple plus the stencil halo).
+    """
+
+    def __init__(
+        self,
+        seg_dev,
+        chunk: Sequence[int],
+        stencil: Sequence[int] = (13, 13, 7),
+        tile: Sequence[int] = (32, 32, 16),
+        K: int = 32,
+        cap_divisor: int = 8,
+    ):
+        self.stencil = tuple(int(s) for s in stencil)
+        self.tile = tuple(int(t) for t in tile)
+        self.K = int(K)
+        self.chunk = tuple(int(c) for c in chunk)
+        self.sh = tuple(int(s) for s in seg_dev.shape)
+        h = tuple(s // 2 for s in self.stencil)
+        self._h = h
+        grid = tuple(-(-self.sh[i] // self.chunk[i]) for i in range(3))
+        self.grid = grid
+        pad = [
+            (h[i], grid[i] * self.chunk[i] - self.sh[i] + h[i]) for i in range(3)
+        ]
+        self._padded = jnp.pad(seg_dev.astype(jnp.int32), pad)
+        self.cap = max(1024, int(np.prod(self.chunk)) // int(cap_divisor))
+        win_shape = tuple(self.chunk[i] + 2 * h[i] for i in range(3))
+        stencil_t, tile_t, K_t, cap = self.stencil, self.tile, self.K, self.cap
+
+        @jax.jit
+        def run(padded, off):
+            win = jax.lax.dynamic_slice(padded, (off[0], off[1], off[2]), win_shape)
+            partners, overflow = detect_cs_device(win, stencil_t, tile_t, K_t)
+            lo = partners[..., 0].reshape(-1)
+            hi = partners[..., 1].reshape(-1)
+            nz = lo != 0
+            n = jnp.sum(nz)
+            idx = jnp.nonzero(nz, size=cap, fill_value=0)[0].astype(jnp.int32)
+            return idx, lo[idx], hi[idx], n, partners, overflow
+
+        self._run = run
+
+    def dispatch(self, cix):
+        """Launch chunk (cx, cy, cz); returns an async handle."""
+        off = jnp.asarray(
+            [int(cix[i]) * self.chunk[i] for i in range(3)], jnp.int32
+        )
+        return (cix, self._run(self._padded, off))
+
+    def fetch(self, handle):
+        """Blocking. Returns ``(packed, overflow)``: the chunk-core packed
+        uint64 contact segmentation (cropped to the volume boundary) and a
+        flag — True when a tile's candidate set overflowed K and the caller
+        must recompute this chunk with the host kernel (rare)."""
+        cix, (idx, lo, hi, n, partners, overflow) = handle
+        n = int(n)
+        core = tuple(
+            min(self.chunk[i], self.sh[i] - int(cix[i]) * self.chunk[i])
+            for i in range(3)
+        )
+        if n > self.cap:
+            # denser than the compaction budget: dense fetch fallback
+            p = np.asarray(partners)
+            out = (
+                (p[..., 0].astype(np.uint64) << np.uint64(32))
+                | p[..., 1].astype(np.uint64)
+            ).reshape(-1)
+        else:
+            out = np.zeros(int(np.prod(self.chunk)), np.uint64)
+            if n > 0:
+                ih = np.asarray(idx[:n]).astype(np.int64)
+                lv = np.asarray(lo[:n]).astype(np.uint64)
+                hv = np.asarray(hi[:n]).astype(np.uint64)
+                out[ih] = (lv << np.uint64(32)) | hv
+        out = out.reshape(self.chunk)[: core[0], : core[1], : core[2]]
+        return out, bool(np.asarray(overflow).any())
+
+
 def detect_cs_tpu(
     seg: np.ndarray,
     stencil=(13, 13, 7),

@@ -30,7 +30,7 @@ from ..utils.jaxcfg import setup_jax
 
 setup_jax()
 
-__all__ = ["morphology_chain_device", "segment_chunk_device"]
+__all__ = ["morphology_chain_device", "segment_chunk_device", "ResidentSegmenter"]
 
 
 def _conv_count(mask: jnp.ndarray, struct: jnp.ndarray) -> jnp.ndarray:
@@ -129,6 +129,83 @@ def _segment_chunk_packed(prob, thresh, struct, pre_ops, n_trailing_ero, struct_
     two = two.reshape(sx, sy, (sz + pad) // 4, 4)
     w = jnp.asarray([1, 4, 16, 64], jnp.uint8)
     return jnp.sum(two * w, axis=-1, dtype=jnp.uint8)
+
+
+def _split_ops(morph_ops: Sequence[str]) -> Tuple[Tuple[str, ...], int]:
+    morph_ops = list(morph_ops or [])
+    n_tr = 0
+    for op in reversed(morph_ops):
+        if op == "binary_erosion":
+            n_tr += 1
+        else:
+            break
+    return tuple(morph_ops[: len(morph_ops) - n_tr]), n_tr
+
+
+@partial(
+    jax.jit,
+    static_argnames=("win", "pre_ops", "n_tr", "struct_shape", "sigma"),
+)
+def _resident_segment_run(padded, struct_b, off, thresh, win, pre_ops, n_tr,
+                          struct_shape, sigma):
+    w = jax.lax.dynamic_slice(padded, (off[0], off[1], off[2]), win)
+    return _segment_chunk_packed(w, thresh, struct_b, pre_ops, n_tr,
+                                 struct_shape, sigma)
+
+
+class ResidentSegmenter:
+    """Object-segmentation chunk chains over an HBM-resident probability
+    map: each chunk+halo window is sliced in device memory (zero upload)
+    and only the 2-bit packed (mask | eroded<<1) result crosses the link.
+    Results are bit-identical to the host path's per-chunk windows (the
+    region past the volume boundary is zero either way)."""
+
+    def __init__(self, prob_dev, chunk, halo: int, thresh_uint8: float,
+                 morph_ops, struct, sigma: float = 0.0):
+        self.chunk = tuple(int(c) for c in chunk)
+        self.halo = int(halo)
+        self.sh = tuple(int(s) for s in prob_dev.shape)
+        self.pre_ops, self.n_tr = _split_ops(morph_ops)
+        grid = tuple(-(-self.sh[i] // self.chunk[i]) for i in range(3))
+        h = self.halo
+        pad = [(h, grid[i] * self.chunk[i] - self.sh[i] + h) for i in range(3)]
+        self._padded = jnp.pad(prob_dev.astype(jnp.uint8), pad)
+        self._struct = jnp.asarray(np.asarray(struct, bool))
+        self._win = tuple(self.chunk[i] + 2 * h for i in range(3))
+        # threshold travels as a traced scalar: one compiled program serves
+        # every organelle type (their probathresholds differ; baking the
+        # float into the HLO forced a fresh relay compile per type)
+        self._thresh = jnp.float32(thresh_uint8)
+        self._struct_shape = tuple(np.asarray(struct).shape)
+        self._sigma = float(sigma)
+
+    def dispatch(self, cix):
+        off = jnp.asarray([int(cix[i]) * self.chunk[i] for i in range(3)], jnp.int32)
+        return (
+            cix,
+            _resident_segment_run(
+                self._padded, self._struct, off, self._thresh, self._win,
+                self.pre_ops, self.n_tr, self._struct_shape, self._sigma,
+            ),
+        )
+
+    def fetch(self, handle):
+        """-> (mask, eroded, n_trailing_ero) for the chunk's haloed window
+        (cropped to size + 2*halo at the volume boundary)."""
+        cix, dev = handle
+        packed = np.asarray(dev)
+        h = self.halo
+        wz = self.chunk[2] + 2 * h
+        codes = np.stack(
+            [packed & 3, (packed >> 2) & 3, (packed >> 4) & 3, (packed >> 6) & 3],
+            axis=-1,
+        ).reshape(packed.shape[0], packed.shape[1], -1)[:, :, :wz]
+        size = [
+            min(self.chunk[i], self.sh[i] - int(cix[i]) * self.chunk[i])
+            for i in range(3)
+        ]
+        codes = codes[: size[0] + 2 * h, : size[1] + 2 * h, : size[2] + 2 * h]
+        return (codes & 1).astype(bool), (codes >> 1).astype(bool), self.n_tr
 
 
 def segment_chunk_device(
