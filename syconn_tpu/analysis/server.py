@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import threading
 from typing import Any, Dict, Optional
 from urllib.parse import parse_qs
@@ -143,7 +144,23 @@ def make_app(backend: SyConnBackend):
         raw = qs.get("format", [""])[0] == "raw"
         try:
             if not parts:
-                payload = {"service": "syconn_tpu", "wd": backend.wd}
+                # interactive viewer (reference capability:
+                # syconn/analysis/syconn_knossos_viewer.py): self-contained
+                # WebGL page over the raw-bytes mesh routes
+                p = os.path.join(os.path.dirname(__file__), "viewer.html")
+                with open(p, "rb") as f:
+                    html = f.read()
+                start_response("200 OK", [
+                    ("Content-Type", "text/html; charset=utf-8"),
+                    ("Content-Length", str(len(html))),
+                ])
+                return [html]
+            elif parts[0] == "info":
+                cfg = global_params.config
+                payload = {
+                    "service": "syconn_tpu", "wd": backend.wd,
+                    "scaling": [float(s) for s in cfg["scaling"]],
+                }
             elif parts[0] == "ssv_list":
                 payload = backend.ssv_list()
             elif parts[0] == "ssv_mesh":

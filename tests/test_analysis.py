@@ -86,6 +86,17 @@ def test_rest_server(analysis_world, working_dir):
         # unknown route -> 404 json
         with pytest.raises(urllib.error.HTTPError):
             get("/nope")
+
+        # interactive viewer: the root serves the self-contained WebGL page
+        # and /info carries the scaling it needs for synapse positions
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=10) as r:
+            html = r.read().decode()
+            assert r.headers.get("Content-Type", "").startswith("text/html")
+        for needed in ("ssv_ind", "ssv_vert", "all_syn_meta", "webgl",
+                       "syn_prob", "axodend"):
+            assert needed in html or needed in html.lower(), needed
+        inf = get("/info")
+        assert inf["service"] == "syconn_tpu" and len(inf["scaling"]) == 3
     finally:
         httpd.shutdown()
 
