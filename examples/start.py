@@ -32,6 +32,9 @@ def main():
     parser.add_argument("--prior_astrocyte_removal", action="store_true")
     parser.add_argument("--run_server", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--chunk_size", type=int, nargs=3, default=[128, 128, 64],
+                        help="extraction/skeleton chunk shape; larger chunks "
+                             "amortize per-chunk host work at GVx scale")
     parser.add_argument("--train_models", action="store_true",
                         help="train the dense models on the toy ground truth "
                              "before running inference (train->deploy loop)")
@@ -80,7 +83,7 @@ def main():
             os.environ["SYCONN_TPU_PLATFORM"] = "cpu"
     wd = args.working_dir or os.path.expanduser("~/syconn_tpu_example/")
     scale = np.array([10, 10, 20])
-    chunk_size = (128, 128, 64)
+    chunk_size = tuple(int(c) for c in args.chunk_size)
 
     generate_default_conf(
         wd,
@@ -306,6 +309,18 @@ def main():
     ftimer.stop()
 
     log.info("\n" + ftimer.prepare_report())
+    # committed-receipt artifact: per-step seconds as JSON next to the pkl
+    import json as _json
+
+    with open(os.path.join(wd, "timing.json"), "w") as f:
+        _json.dump({
+            "shape": list(args.shape),
+            "n_cells": args.n_cells,
+            "world": args.world,
+            "gvx": float(np.prod(args.shape)) / 1e9,
+            "steps_s": {k: round(float(v), 2)
+                        for k, v in ftimer.timings.items()},
+        }, f, indent=1)
     if args.run_server:
         from syconn_tpu.analysis.server import main as server_main
 

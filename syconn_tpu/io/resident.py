@@ -46,12 +46,36 @@ setup_jax()
 
 log = logging.getLogger("syconn_tpu.resident")
 
-__all__ = ["put", "get", "drop", "clear", "enabled", "total_bytes", "stats"]
+__all__ = [
+    "put", "get", "drop", "clear", "enabled", "total_bytes", "stats",
+    "trip", "tripped", "timed_fetch",
+]
 
 _REG: Dict[Tuple[str, str, int], "object"] = {}
 _LOCK = threading.Lock()
+_TRIPPED = False
 
 _DTYPES = {"raw": np.uint8, "seg": np.int32}
+
+
+def trip(reason: str = "") -> None:
+    """Disable the resident store for the rest of the process — called when
+    a consumer observes the device link collapsing mid-run (the relay
+    degrades by orders of magnitude between sessions; a wedged readback
+    must not hold every subsequent step hostage). In-flight steps finish on
+    their current path; later steps fall back to disk/host."""
+    global _TRIPPED
+    if not _TRIPPED:
+        _TRIPPED = True
+        n = drop(None)
+        log.warning(
+            "resident store tripped (%s) — dropped %d volumes; subsequent "
+            "steps use the disk/host paths", reason, n,
+        )
+
+
+def tripped() -> bool:
+    return _TRIPPED
 
 
 def _key(path: str, channel: str, mag: int) -> Tuple[str, str, int]:
@@ -70,7 +94,10 @@ def _budget_bytes() -> int:
 
 def enabled() -> bool:
     """Resident volumes are on whenever an accelerator is attached, unless
-    the config opts out (``tpu.resident_volumes: false``)."""
+    the config opts out (``tpu.resident_volumes: false``) or the store was
+    tripped by a collapsed link."""
+    if _TRIPPED:
+        return False
     if os.environ.get("SYCONN_TPU_RESIDENT") is not None:
         return os.environ["SYCONN_TPU_RESIDENT"] == "1"
     try:
@@ -212,3 +239,22 @@ def drop(path: Optional[str] = None, channel: Optional[str] = None) -> int:
 
 def clear() -> None:
     drop(None)
+
+
+_fetch_count = 0
+
+
+def timed_fetch(dev) -> np.ndarray:
+    """Device->host fetch that trips the store when a small transfer takes
+    absurdly long (collapsed relay). The first fetches are exempt — they
+    may include queued compile/execution time."""
+    global _fetch_count
+    import time
+
+    t0 = time.perf_counter()
+    out = np.asarray(dev)
+    dt = time.perf_counter() - t0
+    _fetch_count += 1
+    if _fetch_count > 2 and out.nbytes < (32 << 20) and dt > 30.0:
+        trip(f"fetch of {out.nbytes >> 10} KB took {dt:.0f}s")
+    return out

@@ -296,9 +296,11 @@ class ResidentCsDetector:
                 | p[..., 1].astype(np.uint64)
             ).reshape(-1)
         else:
+            from ..io.resident import timed_fetch
+
             out = np.zeros(int(np.prod(self.chunk)), np.uint64)
             if n > 0:
-                ih = np.asarray(idx[:n]).astype(np.int64)
+                ih = timed_fetch(idx[:n]).astype(np.int64)
                 lv = np.asarray(lo[:n]).astype(np.uint64)
                 hv = np.asarray(hi[:n]).astype(np.uint64)
                 out[ih] = (lv << np.uint64(32)) | hv

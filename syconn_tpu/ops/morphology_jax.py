@@ -193,7 +193,9 @@ class ResidentSegmenter:
         """-> (mask, eroded, n_trailing_ero) for the chunk's haloed window
         (cropped to size + 2*halo at the volume boundary)."""
         cix, dev = handle
-        packed = np.asarray(dev)
+        from ..io.resident import timed_fetch
+
+        packed = timed_fetch(dev)
         h = self.halo
         wz = self.chunk[2] + 2 * h
         codes = np.stack(

@@ -10,11 +10,14 @@ supervoxel adjacency graph.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 from scipy import ndimage
+
+log = logging.getLogger("syconn_tpu.testdata")
 
 __all__ = ["generate_toy_world", "write_toy_world"]
 
@@ -53,13 +56,17 @@ def generate_toy_world(
 
                 # ~3 B/voxel stream back: only worth it when the downlink
                 # can beat the ~0.75 MVx/s host generator
-                device = (
-                    jax.default_backend() != "cpu" and downlink_mbps() >= 20.0
+                rate = downlink_mbps()
+                device = jax.default_backend() != "cpu" and rate >= 20.0
+                log.info(
+                    "world generator: downlink %.1f MB/s -> %s path",
+                    rate, "device" if device else "host",
                 )
         except Exception:
             device = False
     if device:
         return _generate_toy_world_device(shape, n_cells, svs_per_cell, seed, scale)
+    log.info("world generator: host path (%.0f MVx)", np.prod(shape) / 1e6)
     rng = np.random.default_rng(seed)
     shape = tuple(int(s) for s in shape)
     scale = np.asarray(scale, np.float64)

@@ -220,6 +220,11 @@ def generate_dense_fields_device(
         masks[x0:x1] = packed_c[: x1 - x0]
         raw[x0:x1] = raw_c[: x1 - x0]
 
+    import logging
+    import time as _time
+
+    _log = logging.getLogger("syconn_tpu.testdata")
+    t0 = _time.perf_counter()
     cshape = (chunk_x + 2 * halo, shape[1] + 2 * halo, shape[2] + 2 * halo)
     for ci in range(n_chunks):
         x0 = ci * chunk_x
@@ -235,6 +240,12 @@ def generate_dense_fields_device(
         inflight.append((x0, x1, futs))
         if len(inflight) > 2:  # overlap compute with d2h of older chunks
             drain(inflight.pop(0))
+        if ci % 4 == 3:
+            _log.info(
+                "device world generation: %d/%d x-chunks (%.1f MVx/s)",
+                ci + 1, n_chunks,
+                (x1 * shape[1] * shape[2]) / max(_time.perf_counter() - t0, 1e-9) / 1e6,
+            )
     while inflight:
         drain(inflight.pop(0))
     return {

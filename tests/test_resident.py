@@ -14,6 +14,7 @@ def resident_on(monkeypatch):
     from syconn_tpu.io import resident
 
     monkeypatch.setenv("SYCONN_TPU_RESIDENT", "1")
+    monkeypatch.setattr(resident, "_TRIPPED", False)
     resident.clear()
     yield resident
     resident.clear()
