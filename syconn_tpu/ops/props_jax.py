@@ -29,7 +29,55 @@ __all__ = [
     "object_properties_tpu",
     "pair_counts_device",
     "pair_counts_tpu",
+    "ResidentPropsScanner",
 ]
+
+
+@partial(jax.jit, static_argnames=("chunk", "max_ids"))
+def _resident_props_run(padded, off, chunk, max_ids):
+    w = jax.lax.dynamic_slice(padded, (off[0], off[1], off[2]), chunk)
+    return object_properties_device(w, max_ids)
+
+
+class ResidentPropsScanner:
+    """Per-chunk property scans over an HBM-resident label volume: the
+    chunk is sliced in device memory (zero upload; the host argsort of a
+    dense 16M-voxel cell chunk was the SD-generation bottleneck) and only
+    the compact padded tables come back. Same contract as
+    ops/props.object_properties_arrays (chunk-local coords)."""
+
+    def __init__(self, vol_dev, chunk: Sequence[int] = (256, 256, 128)):
+        self.chunk = tuple(int(c) for c in chunk)
+        self.sh = tuple(int(s) for s in vol_dev.shape)
+        grid = tuple(-(-self.sh[i] // self.chunk[i]) for i in range(3))
+        pad = [(0, grid[i] * self.chunk[i] - self.sh[i]) for i in range(3)]
+        self._padded = jnp.pad(vol_dev.astype(jnp.int32), pad)
+
+    def props(self, cix, max_ids: int = 4096):
+        """(ids, rep, bb, sizes) of chunk (cx, cy, cz). Boundary chunks run
+        on their zero-padded full window — padding voxels only feed the
+        dropped background segment, so the nonzero labels' stats (and their
+        chunk-local coords) are identical to the host path's cropped scan.
+        Grows the padded table on overflow (one recompile per size)."""
+        off = jnp.asarray(
+            [int(cix[i]) * self.chunk[i] for i in range(3)], jnp.int32
+        )
+        while True:
+            ids, rep, bb, sizes, n_seg = _resident_props_run(
+                self._padded, off, self.chunk, max_ids
+            )
+            if int(n_seg) <= max_ids:
+                break
+            max_ids = 1 << int(np.ceil(np.log2(int(n_seg))))
+        ids = np.asarray(ids)
+        valid = ids != 0
+        order = np.argsort(ids[valid], kind="stable")
+        return (
+            ids[valid][order].astype(np.uint64),
+            np.asarray(rep)[valid][order].astype(np.int64),
+            np.asarray(bb)[valid][order].astype(np.int64),
+            np.asarray(sizes)[valid][order].astype(np.int64),
+        )
 
 
 @partial(jax.jit, static_argnames=("max_ids",))

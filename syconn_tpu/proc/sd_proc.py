@@ -113,12 +113,27 @@ def map_subcell_extract_props(
                 pass
         return pair_counts(sc, cell)
 
+    # HBM-resident cell segmentation: the per-chunk property scan (host
+    # argsort of a dense 16M-voxel chunk — the SD-generation hot spot on a
+    # single host core) runs on device from in-HBM windows
+    res_scanner = None
+    if mag == 1:
+        from ..io import resident as _resident
+
+        res_cell = _resident.get(kd_seg_path, "seg", mag)
+        if res_cell is not None:
+            from ..ops.props_jax import ResidentPropsScanner
+
+            res_scanner = ResidentPropsScanner(
+                res_cell, chunk=tuple(int(c) for c in cs)
+            )
+
     def work_chunk(cix):
         off = np.array(cix) * cs
         size = np.minimum(cs, sh - off)
         cell = kd.load_seg(offset=off, size=size, mag=mag)
         res = {"off": off}
-        res["sv"] = _props(cell)
+        res["sv"] = res_scanner.props(cix) if res_scanner is not None else _props(cell)
         res["pairs"] = {}
         res["sc"] = {}
         meshes = {}

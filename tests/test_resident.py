@@ -166,6 +166,41 @@ def test_resident_object_extraction_identical(tmp_path, working_dir, resident_on
     assert np.array_equal(a, b)
 
 
+def test_resident_props_scanner_identical(resident_on):
+    """ResidentPropsScanner == the host scan, including boundary chunks and
+    the >4096-labels growth path."""
+    import jax.numpy as jnp
+
+    from syconn_tpu.ops.props import object_properties_arrays
+    from syconn_tpu.ops.props_jax import ResidentPropsScanner
+
+    rng = np.random.default_rng(7)
+    sh = (70, 48, 40)  # not a chunk multiple -> boundary windows
+    vol = rng.integers(0, 50, sh).astype(np.uint32)
+    scanner = ResidentPropsScanner(jnp.asarray(vol.astype(np.int32)), chunk=(32, 32, 32))
+    for cix in [(0, 0, 0), (1, 0, 0), (2, 1, 1)]:
+        off = np.array(cix) * 32
+        size = np.minimum(32, np.array(sh) - off)
+        chunk = vol[off[0]:off[0] + size[0], off[1]:off[1] + size[1], off[2]:off[2] + size[2]]
+        ids_h, rep_h, bb_h, sz_h = object_properties_arrays(chunk)
+        ids_d, rep_d, bb_d, sz_d = scanner.props(cix)
+        assert np.array_equal(ids_h.astype(np.uint64), ids_d)
+        assert np.array_equal(rep_h, rep_d)
+        assert np.array_equal(bb_h, bb_d)
+        assert np.array_equal(sz_h, sz_d)
+
+    # dense-label growth: > 4096 unique ids in one chunk
+    dense = (np.arange(32 * 32 * 32, dtype=np.uint32).reshape(32, 32, 32) // 4) + 1
+    big = np.zeros((64, 32, 32), np.uint32)
+    big[:32] = dense
+    scanner2 = ResidentPropsScanner(jnp.asarray(big.astype(np.int32)), chunk=(32, 32, 32))
+    ids_h, rep_h, bb_h, sz_h = object_properties_arrays(dense)
+    ids_d, rep_d, bb_d, sz_d = scanner2.props((0, 0, 0))
+    assert len(ids_d) > 4096
+    assert np.array_equal(ids_h.astype(np.uint64), ids_d)
+    assert np.array_equal(sz_h, sz_d)
+
+
 def test_resident_dense_prediction_identical(tmp_path, resident_on):
     """predict_dense_to_kd from a resident source: outputs on disk match
     the streaming path bit-for-bit, and per-class outputs register
