@@ -157,9 +157,12 @@ def main():
         # register the working set HBM-resident: dense prediction, object
         # extraction and contact detection then slice from device memory
         # instead of re-streaming volumes over the link (disk stays the
-        # durability layer)
+        # durability layer). Device-generated worlds hand their fields over
+        # zero-copy (world["_device"]); host fields upload once.
+        dev_fields = world.get("_device") or {}
         resident.put(cfg.kd_seg_path, "raw", world["raw"])
-        resident.put(cfg.kd_seg_path, "seg", world["seg"])
+        resident.put(cfg.kd_seg_path, "seg",
+                     dev_fields.get("seg", world["seg"]))
         predicted_cos = {"mi", "vc", "sj"} if args.predict_organelles else set()
         for co in organelles + ["sj", "sym", "asym"]:
             if co in predicted_cos:
@@ -167,8 +170,9 @@ def main():
             cv = ChunkedVolume.create(getattr(cfg, f"kd_{co}_path"), scale=scale,
                                       boundary=world["seg"].shape, chunk_shape=chunk_size)
             cv.save_raw(world[co], mags=[1, 2])
-            if co in ("sj", "sym", "asym") or co in organelles:
-                resident.put(getattr(cfg, f"kd_{co}_path"), "raw", world[co])
+            if co in organelles or co == "sj":
+                resident.put(getattr(cfg, f"kd_{co}_path"), "raw",
+                             dev_fields.get(co, world[co]))
         save_svgraph(world["rag"], cfg.init_svgraph_path)
     elif os.path.isdir(cfg.kd_seg_path) and resident.enabled():
         # reused working dir: hydrate the resident store from disk once

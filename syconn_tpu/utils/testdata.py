@@ -379,8 +379,25 @@ def _generate_toy_world_device(shape, n_cells, svs_per_cell, seed, scale):
     )
     rag = np.stack([lo[same_cell], hi[same_cell]], axis=1).reshape(-1, 2)
 
+    dev = dense.get("_device") or {}
+    dev_out = {}
+    if dev:
+        # the generated fields are still in HBM: hand them to the caller so
+        # the resident store registers them without a re-upload. raw is
+        # excluded (it gets host-side er/golgi darkening above); sym/asym
+        # derive from host labeling and stay host-only.
+        import jax.numpy as jnp
+
+        dev_out = {
+            "seg": dev["seg"],
+            "mi": ((dev["masks"] & 1) > 0).astype(jnp.uint8) * jnp.uint8(255),
+            "vc": ((dev["masks"] & 2) > 0).astype(jnp.uint8) * jnp.uint8(255),
+            "sj": ((dev["masks"] & 4) > 0).astype(jnp.uint8) * jnp.uint8(255),
+        }
+
     to_prob = lambda m: (m.astype(np.uint8) * 255)
     return {
+        "_device": dev_out,
         "raw": raw,
         "seg": seg,
         "cells": cells,

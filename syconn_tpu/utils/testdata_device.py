@@ -226,6 +226,7 @@ def generate_dense_fields_device(
     _log = logging.getLogger("syconn_tpu.testdata")
     t0 = _time.perf_counter()
     cshape = (chunk_x + 2 * halo, shape[1] + 2 * halo, shape[2] + 2 * halo)
+    dev_chunks = []  # device-side (seg, packed, raw) per chunk
     for ci in range(n_chunks):
         x0 = ci * chunk_x
         x1 = min(shape[0], x0 + chunk_x)
@@ -238,6 +239,7 @@ def generate_dense_fields_device(
             cshape, halo, int(seed) & 0x7FFFFFFF, float(sj_p), 15.0, 128.0,
         )
         inflight.append((x0, x1, futs))
+        dev_chunks.append((x1 - x0, futs))
         if len(inflight) > 2:  # overlap compute with d2h of older chunks
             drain(inflight.pop(0))
         if ci % 4 == 3:
@@ -248,10 +250,26 @@ def generate_dense_fields_device(
             )
     while inflight:
         drain(inflight.pop(0))
+    # keep the generated fields on device too (freshly resident — the
+    # pipeline steps consume them from HBM without a re-upload); concat
+    # one field at a time to bound the transient working set
+    device_fields = {}
+    try:
+        for name, ix, cast in (("seg", 0, jnp.int32), ("masks", 1, None),
+                               ("raw", 2, None)):
+            parts = [
+                (f[ix][:nx] if cast is None else f[ix][:nx].astype(cast))
+                for nx, f in dev_chunks
+            ]
+            device_fields[name] = jnp.concatenate(parts, axis=0)
+    except Exception:  # pragma: no cover - OOM on small chips: host copies win
+        device_fields = {}
+    del dev_chunks
     return {
         "seg": seg,
         "mi": (masks & 1) > 0,
         "vc": (masks & 2) > 0,
         "sj": (masks & 4) > 0,
         "raw": raw,
+        "_device": device_fields,
     }

@@ -166,6 +166,19 @@ def test_resident_object_extraction_identical(tmp_path, working_dir, resident_on
     assert np.array_equal(a, b)
 
 
+def test_device_worldgen_passthrough(resident_on):
+    """Device-generated worlds hand their in-HBM fields to the caller
+    (world['_device']) consistent with the host copies."""
+    from syconn_tpu.utils.testdata import generate_toy_world
+
+    w = generate_toy_world(shape=(64, 64, 32), n_cells=3, device=True)
+    dev = w.get("_device") or {}
+    assert "seg" in dev and "mi" in dev and "sj" in dev
+    assert np.array_equal(np.asarray(dev["seg"]), w["seg"].astype(np.int32))
+    for co in ("mi", "vc", "sj"):
+        assert np.array_equal(np.asarray(dev[co]), w[co])
+
+
 def test_resident_props_scanner_identical(resident_on):
     """ResidentPropsScanner == the host scan, including boundary chunks and
     the >4096-labels growth path."""
