@@ -174,18 +174,6 @@ def main():
                 resident.put(getattr(cfg, f"kd_{co}_path"), "raw",
                              dev_fields.get(co, world[co]))
         save_svgraph(world["rag"], cfg.init_svgraph_path)
-    elif os.path.isdir(cfg.kd_seg_path) and resident.enabled():
-        # reused working dir: hydrate the resident store from disk once
-        kd = ChunkedVolume.open(cfg.kd_seg_path)
-        resident.put(cfg.kd_seg_path, "raw", kd.load_raw())
-        seg_host = kd.load_seg()
-        if seg_host.max(initial=0) < 2**31:
-            resident.put(cfg.kd_seg_path, "seg", seg_host)
-        del seg_host
-        for co in organelles + ["sj", "sym", "asym"]:
-            p = getattr(cfg, f"kd_{co}_path")
-            if os.path.isdir(p):
-                resident.put(p, "raw", ChunkedVolume.open(p).load_raw())
         if args.world == "neuron":
             # persist the construction ground truth for quality scoring
             sv_ids = np.asarray(sorted(world["sv2cell"]), np.uint64)
@@ -208,6 +196,18 @@ def main():
                 syn_head_vol=np.asarray([s["head_vol_vx"] for s in world["syn_gt"]],
                                         np.float64),
             )
+    elif resident.enabled():
+        # reused working dir: hydrate the resident store from disk once
+        kd = ChunkedVolume.open(cfg.kd_seg_path)
+        resident.put(cfg.kd_seg_path, "raw", kd.load_raw())
+        seg_host = kd.load_seg()
+        if seg_host.max(initial=0) < 2**31:
+            resident.put(cfg.kd_seg_path, "seg", seg_host)
+        del seg_host
+        for co in organelles + ["sj"]:
+            p = getattr(cfg, f"kd_{co}_path")
+            if os.path.isdir(p):
+                resident.put(p, "raw", ChunkedVolume.open(p).load_raw())
     if args.predict_organelles:
         from syconn_tpu.exec import exec_dense_prediction as _edp
 
