@@ -172,31 +172,31 @@ def main():
     # volume -> packed tile predictions + one device-assembled class
     # volume, blocked to completion. The d2h drain (disk durability) is
     # timed separately — it overlaps the next step in the pipeline.
-    from syconn_tpu.inference.dense import ResidentDensePredictor
-
-    rpred = ResidentDensePredictor(
-        model, params, tile_shape=tile, halo=halo, mode="masks",
-        thresholds=(0.5, 0.4286, 0.2857, 0.1905), batch_size=1,
-    )
-    vol_dev = jax.device_put(jnp.asarray(vol))
-    vol_dev.block_until_ready()
-    packed_dev, grid_r = rpred.predict_volume_packed(vol_dev)  # compile
-    cls = rpred.class_volume_device(packed_dev, grid_r, 1, shape)
-    jax.block_until_ready((packed_dev, cls))
     res_rates, drain_s = [], None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        packed_dev, grid_r = rpred.predict_volume_packed(vol_dev)
+    if jax.default_backend() != "cpu":
+        from syconn_tpu.inference.dense import ResidentDensePredictor
+
+        rpred = ResidentDensePredictor(
+            model, params, tile_shape=tile, halo=halo, mode="masks",
+            thresholds=(0.5, 0.4286, 0.2857, 0.1905), batch_size=1,
+        )
+        vol_dev = jax.device_put(jnp.asarray(vol))
+        vol_dev.block_until_ready()
+        packed_dev, grid_r = rpred.predict_volume_packed(vol_dev)  # compile
         cls = rpred.class_volume_device(packed_dev, grid_r, 1, shape)
         jax.block_until_ready((packed_dev, cls))
-        t1 = time.perf_counter()
-        res_rates.append(float(np.prod(shape)) / (t1 - t0) / 1e6)
-        if drain_s is None:
-            _ = np.asarray(packed_dev)
-            drain_s = time.perf_counter() - t1
-    res_rates.sort()
-    resident_mvox_s = float(np.median(res_rates))
-    mvox_s = resident_mvox_s if jax.default_backend() != "cpu" else stream_mvox_s
+        for _ in range(3):
+            t0 = time.perf_counter()
+            packed_dev, grid_r = rpred.predict_volume_packed(vol_dev)
+            cls = rpred.class_volume_device(packed_dev, grid_r, 1, shape)
+            jax.block_until_ready((packed_dev, cls))
+            t1 = time.perf_counter()
+            res_rates.append(float(np.prod(shape)) / (t1 - t0) / 1e6)
+            if drain_s is None:
+                _ = np.asarray(packed_dev)
+                drain_s = time.perf_counter() - t1
+        res_rates.sort()
+    mvox_s = float(np.median(res_rates)) if res_rates else stream_mvox_s
 
     # FLOPs accounting: each tile computes tile+2*halo voxels of conv work
     tile_in_vox = float(np.prod(np.add(tile, np.multiply(2, halo))))

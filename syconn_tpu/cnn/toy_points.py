@@ -94,10 +94,13 @@ def world2cloud(
 
 
 def _cell_contexts(world, cid, npoints, ctx_size_nm, n_contexts, rng,
-                   surface_only=False, label_kind="compart"):
+                   surface_only=False, label_kind="compart",
+                   centers_nm=None):
     """Contexts + per-point labels through the deployment extractor
     (``inference.points.extract_contexts``). ``label_kind``: "compart",
-    "spiness", or "both" (returns (ctxs, comp_labels, spin_labels))."""
+    "spiness", or "both" (returns (ctxs, comp_labels, spin_labels)).
+    ``centers_nm`` pins the context centers (e.g. on spine-head synapses)
+    instead of surface sampling."""
     from ..inference.points import extract_contexts
 
     coords, types, labels, slabels = world2cloud(world, cid, rng=rng)
@@ -109,7 +112,7 @@ def _cell_contexts(world, cid, npoints, ctx_size_nm, n_contexts, rng,
         labels, slabels = labels[sel], slabels[sel]
     ctxs, idx_lists = extract_contexts(
         coords, types, ctx_size_nm=ctx_size_nm, npoints=npoints,
-        n_contexts=n_contexts, rng=rng,
+        n_contexts=n_contexts, rng=rng, centers_nm=centers_nm,
     )
     gather = lambda lab: (np.stack([lab[ixs] for ixs in idx_lists])
                           if idx_lists else None)
@@ -242,6 +245,7 @@ def train_toy_point_models(
     # each entry: (ctxs, comp_labels, spin_labels, celltype, is_glia)
     pools: List[Tuple[np.ndarray, np.ndarray, np.ndarray, int, bool]] = []
     surf_pools: List[Tuple[np.ndarray, int]] = []  # surface-only (glia path)
+    spine_pools: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []  # head-centered
     for wi, world in enumerate(worlds):
         ct = world["celltype_gt"]
         for cid in range(1, len(ct)):
@@ -253,6 +257,24 @@ def train_toy_point_models(
             if ctxs is None or not len(ctxs):
                 continue
             pools.append((ctxs, pls, sls, int(ct[cid]), ct[cid] == 3))
+            # spine-head-centered contexts: heads are a few points per
+            # surface-sampled context, so the spiness semseg rarely sees
+            # them anchored — pin extra contexts on the cell's spine-head
+            # synapses (the exact sites the spinehead-volume pipeline
+            # later queries)
+            scale_nm = np.asarray(world.get("scale", (10, 10, 20)), np.float64)
+            spine_centers = np.asarray(
+                [s["coord_vx"] for s in world.get("syn_gt", [])
+                 if s.get("on_spine") and int(s.get("post_cell", -1)) == cid],
+                np.float64,
+            ).reshape(-1, 3) * scale_nm[None]
+            if len(spine_centers):
+                spx, spls, ssls = _cell_contexts(
+                    world, cid, npoints, 20_000.0, None, r,
+                    label_kind="both", centers_nm=spine_centers,
+                )
+                if spx is not None and len(spx):
+                    spine_pools.append((spx, spls, ssls))
             sctx, _ = _cell_contexts(world, cid, npoints, 15_000.0, 6, r,
                                      surface_only=True)
             if sctx is not None and len(sctx):
@@ -342,7 +364,13 @@ def train_toy_point_models(
         for i in range(steps):
             xs, ys = [], []
             for _ in range(batch):
-                entry = pools[rng.integers(len(pools))]
+                # spiness: half the stream from spine-head-centered
+                # contexts so the head class anchors enough batches
+                if task == "spiness" and spine_pools and rng.random() < 0.5:
+                    sp = spine_pools[rng.integers(len(spine_pools))]
+                    entry = (sp[0], sp[1], sp[2])
+                else:
+                    entry = pools[rng.integers(len(pools))]
                 ctxs = entry[0]
                 j = rng.integers(len(ctxs))
                 xs.append(augment_context(ctxs[j], rng))

@@ -298,7 +298,7 @@ def _get_point_model(mpath: str, builder):
 
 def predict_celltype_ssd(
     ssd=None, ssv_ids=None, npoints: int = 2048, ctx_size_nm: float = 20_000.0,
-    n_contexts: int = 8, pred_key: str = "celltype_cnn_e3",
+    n_contexts: int = 16, pred_key: str = "celltype_cnn_e3",
 ):
     """Celltype per cell: average context logits + certainty
     (reference: prediction_pts.py:1847 + :931)."""
