@@ -312,7 +312,7 @@ def train_toy_point_models(
                 acc = float(m["acc"])
                 emit(f"[celltype_pts] step {i + 1}/{steps} acc {acc:.3f}")
         save_model(cfg.mpath_celltype_pts, model, state.params,
-                   extra_meta={"task": "celltype_pts", "toy_steps": steps})
+                   extra_meta={"task": "celltype_pts", "toy_steps": steps, "npoints": npoints})
         metrics["celltype"] = acc
 
     # ------------------------------------------------------------- glia
@@ -334,7 +334,7 @@ def train_toy_point_models(
                 acc = float(m["acc"])
                 emit(f"[glia_pts] step {i + 1}/{steps} acc {acc:.3f}")
         save_model(cfg.mpath_glia_pts, model, state.params,
-                   extra_meta={"task": "glia_pts", "toy_steps": steps})
+                   extra_meta={"task": "glia_pts", "toy_steps": steps, "npoints": npoints})
         metrics["glia"] = acc
 
     # --------------------------------------- compartment + spiness semseg
@@ -381,7 +381,7 @@ def train_toy_point_models(
                 acc = float(m["acc"])
                 emit(f"[{task}_pts] step {i + 1}/{steps} acc {acc:.3f}")
         save_model(mpath, model, state.params,
-                   extra_meta={"task": f"{task}_pts", "toy_steps": steps})
+                   extra_meta={"task": f"{task}_pts", "toy_steps": steps, "npoints": npoints})
         metrics[task] = acc
 
     # ------------------------------------------------------------- tnet
@@ -411,7 +411,7 @@ def train_toy_point_models(
                 lossv = float(m["loss"])
                 emit(f"[tnet_pts] step {i + 1}/{steps} loss {lossv:.4f}")
         save_model(cfg.mpath_tnet_pts, model, state.params,
-                   extra_meta={"task": "tnet_pts", "toy_steps": steps})
+                   extra_meta={"task": "tnet_pts", "toy_steps": steps, "npoints": npoints})
         metrics["tnet_loss"] = lossv
 
     return metrics
@@ -433,18 +433,27 @@ def eval_toy_point_models(
     ct = world["celltype_gt"]
     out: Dict[str, float] = {}
 
-    model, params = load_model(cfg.mpath_celltype_pts)
-    pred = ContextPredictor(model, params, npoints=npoints)
+    def _try_load(mpath):
+        try:
+            return load_model(mpath)
+        except FileNotFoundError:
+            return None, None
+
+    model, params = _try_load(cfg.mpath_celltype_pts)
+    if model is None:
+        model = params = None
     hits, tot = 0, 0
-    for cid in range(1, len(ct)):
-        ctxs, _ = _cell_contexts(world, cid, npoints, 20_000.0, 8, rng)
-        if ctxs is None or not len(ctxs):
-            continue
-        o = pred.predict(ctxs)
-        guess = int(np.argmax(o["logits"].mean(axis=0)))
-        hits += int(guess == int(ct[cid]))
-        tot += 1
-    out["celltype_acc"] = hits / max(tot, 1)
+    if model is not None:
+        pred = ContextPredictor(model, params, npoints=npoints)
+        for cid in range(1, len(ct)):
+            ctxs, _ = _cell_contexts(world, cid, npoints, 20_000.0, 8, rng)
+            if ctxs is None or not len(ctxs):
+                continue
+            o = pred.predict(ctxs)
+            guess = int(np.argmax(o["logits"].mean(axis=0)))
+            hits += int(guess == int(ct[cid]))
+            tot += 1
+        out["celltype_acc"] = hits / max(tot, 1)
 
     for task, mpath in (("compartment", cfg.mpath_compartment_pts),
                         ("spiness", cfg.mpath_spiness)):
@@ -467,7 +476,9 @@ def eval_toy_point_models(
             n += int(valid.sum())
         out[f"{task}_acc"] = correct / max(n, 1)
 
-    model, params = load_model(cfg.mpath_glia_pts)
+    model, params = _try_load(cfg.mpath_glia_pts)
+    if model is None:
+        return out
     pred = ContextPredictor(model, params, npoints=npoints)
     glia_scores, neuron_scores = [], []
     for cid in range(1, len(ct)):

@@ -310,6 +310,9 @@ def predict_celltype_ssd(
         ssd = SuperSegmentationDataset(working_dir=cfg.working_dir)
     if ssv_ids is None:
         ssv_ids = ssd.ssv_ids
+    from ..models.io import load_model_meta
+
+    npoints = int(load_model_meta(cfg.mpath_celltype_pts).get("npoints", npoints))
     model, params = _get_point_model(
         cfg.mpath_celltype_pts, lambda: (PointClassNet(n_classes=8), (1, npoints, 7))
     )
@@ -365,6 +368,9 @@ def predict_glia_ssv(
         ssd = SuperSegmentationDataset(working_dir=cfg.working_dir)
     if ssv_ids is None:
         ssv_ids = ssd.ssv_ids
+    from ..models.io import load_model_meta
+
+    npoints = int(load_model_meta(cfg.mpath_glia_pts).get("npoints", npoints))
     model, params = _get_point_model(
         cfg.mpath_glia_pts, lambda: (PointSegNet(n_classes=2), (1, npoints, 7))
     )
@@ -425,6 +431,10 @@ def predict_compartments_ssd(
         ssv_ids = ssd.ssv_ids
     if mpath is None:
         mpath = cfg.mpath_compartment_pts
+    from ..models.io import load_model_meta
+
+    # infer with the context size the shipped model was trained at
+    npoints = int(load_model_meta(mpath).get("npoints", npoints))
     model, params = _get_point_model(
         mpath, lambda: (PointSegNet(n_classes=n_classes), (1, npoints, 7))
     )
@@ -516,6 +526,9 @@ def infere_cell_morphology_ssd(
     if ssv_ids is None:
         ssv_ids = ssd.ssv_ids
     ndim = int(cfg["tcmn"]["ndim_embedding"])
+    from ..models.io import load_model_meta
+
+    npoints = int(load_model_meta(cfg.mpath_tnet_pts).get("npoints", npoints))
     model, params = _get_point_model(
         cfg.mpath_tnet_pts,
         lambda: (PointClassNet(n_classes=2, embed_dim=ndim), (1, npoints, 7)),

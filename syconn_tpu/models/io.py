@@ -113,6 +113,22 @@ def load_model(path: str) -> Tuple[Any, Any]:
     return model, params
 
 
+def load_model_meta(path: str) -> dict:
+    """The extra_meta dict persisted with a model (resolution order as
+    get_or_init_model: working-dir model, then packaged weights)."""
+    if not model_exists(path):
+        packaged = packaged_model_path(os.path.basename(os.path.normpath(path)))
+        if model_exists(packaged):
+            path = packaged
+        else:
+            return {}
+    try:
+        with open(os.path.join(path, "arch.json")) as f:
+            return json.load(f).get("meta", {})
+    except Exception:
+        return {}
+
+
 def model_exists(path: str) -> bool:
     return os.path.isfile(os.path.join(path, "arch.json")) and os.path.isfile(
         os.path.join(path, "params.msgpack")
