@@ -247,13 +247,27 @@ _fetch_count = 0
 def timed_fetch(dev) -> np.ndarray:
     """Device->host fetch that trips the store when a small transfer takes
     absurdly long (collapsed relay). The first fetches are exempt — they
-    may include queued compile/execution time."""
+    may include queued compile/execution time.
+
+    A fetch that HANGS (wedged relay stream, observed mid-run) is abandoned
+    after a hard deadline: the store trips and ``TimeoutError`` propagates —
+    under the retrying executor the step reruns on the disk/host path
+    instead of holding the whole pipeline hostage."""
     global _fetch_count
     import time
 
+    from ..utils.linkprobe import run_with_deadline
+
+    nbytes = getattr(dev, "nbytes", 0) or (64 << 20)
+    # generous floor: worst measured healthy-ish downlink ~0.25 MB/s
+    deadline = 120.0 + nbytes / 0.25e6
     t0 = time.perf_counter()
-    out = np.asarray(dev)
+    ok, out = run_with_deadline(lambda: np.asarray(dev), deadline)
     dt = time.perf_counter() - t0
+    if not ok:
+        trip(f"fetch of {nbytes >> 10} KB hung >{deadline:.0f}s")
+        raise TimeoutError(
+            f"device fetch of {nbytes >> 10} KB exceeded {deadline:.0f}s")
     _fetch_count += 1
     if _fetch_count > 2 and out.nbytes < (32 << 20) and dt > 30.0:
         trip(f"fetch of {out.nbytes >> 10} KB took {dt:.0f}s")

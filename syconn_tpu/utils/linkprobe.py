@@ -24,6 +24,34 @@ _cache: Optional[Tuple[float, float]] = None
 _alive_cache: Optional[bool] = None
 
 
+def run_with_deadline(fn, seconds: float):
+    """``(True, fn())`` or ``(False, None)`` when ``fn`` does not return
+    within ``seconds``. The work runs in a daemon thread: a device transfer
+    blocked on a wedged relay cannot be interrupted, only abandoned — the
+    stuck thread leaks (it holds no locks the caller needs) while the
+    caller degrades to a host path. Observed in production: the relay
+    wedges MID-TRANSFER, after backend init succeeded, so subprocess
+    probes at startup cannot cover this."""
+    import threading
+
+    box = {}
+
+    def _work():
+        try:
+            box["out"] = fn()
+        except Exception as e:  # surface errors, not just timeouts
+            box["err"] = e
+
+    t = threading.Thread(target=_work, daemon=True)
+    t.start()
+    t.join(timeout=seconds)
+    if t.is_alive():
+        return False, None
+    if "err" in box:
+        raise box["err"]
+    return True, box.get("out")
+
+
 def _backend_initialized_in_process() -> bool:
     """True when this process has already initialized a jax backend."""
     import sys
@@ -89,15 +117,25 @@ def link_throughput_mbps(size_mb: int = 8, refresh: bool = False) -> Tuple[float
     if jax.default_backend() == "cpu":
         _cache = (float("inf"), float("inf"))
         return _cache
-    x = np.zeros(size_mb * 1024 * 1024, np.uint8)
-    t0 = time.perf_counter()
-    xd = jax.device_put(x)
-    xd.block_until_ready()
-    t1 = time.perf_counter()
-    np.asarray(xd)
-    t2 = time.perf_counter()
-    up = size_mb / max(t1 - t0, 1e-9)
-    down = size_mb / max(t2 - t1, 1e-9)
+    def _measure():
+        x = np.zeros(size_mb * 1024 * 1024, np.uint8)
+        t0 = time.perf_counter()
+        xd = jax.device_put(x)
+        xd.block_until_ready()
+        t1 = time.perf_counter()
+        np.asarray(xd)
+        t2 = time.perf_counter()
+        return size_mb / max(t1 - t0, 1e-9), size_mb / max(t2 - t1, 1e-9)
+
+    # the measurement itself must carry a deadline: the relay has been
+    # observed to wedge mid-transfer (backend init fine, first d2h hangs
+    # forever) — without this the probe deadlocks the caller it protects
+    ok, updown = run_with_deadline(_measure, 90.0)
+    if not ok:
+        log.warning("device link probe hung >90s — treating the link as down")
+        _cache = (0.0, 0.0)
+        return _cache
+    up, down = updown
     log.info("device link probe: up %.1f MB/s, down %.1f MB/s", up, down)
     _cache = (up, down)
     return _cache
