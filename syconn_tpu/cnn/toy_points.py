@@ -151,6 +151,23 @@ def pipeline_cloud_pools(
         comp_vol = gt["compart"]
         spin_vol = gt["spiness"]
         shape = np.asarray(comp_vol.shape)
+        # mesh vertices sit ON the carved membrane voxels (GT label 255 =
+        # unlabeled), so a direct voxel lookup leaves ~2/3 of the cloud
+        # without labels. Fill each unlabeled voxel from its nearest
+        # labeled one (EDT index map), capped at a few voxels so far-away
+        # points (detached synapse clouds) stay ignored.
+        from scipy import ndimage as ndi
+
+        def _nearest_fill(vol, max_dist_vox=4.0):
+            unl = vol == 255
+            if not unl.any() or unl.all():
+                return vol
+            dist, (ix, iy, iz) = ndi.distance_transform_edt(
+                unl, return_indices=True, sampling=(1.0, 1.0, 2.0))
+            return np.where(unl & (dist <= max_dist_vox), vol[ix, iy, iz], vol)
+
+        comp_vol = _nearest_fill(comp_vol)
+        spin_vol = _nearest_fill(spin_vol)
         sv2cell = dict(zip(gt["sv_ids"].tolist(), gt["sv_cells"].tolist()))
         ct_gt = gt["celltype_gt"]
         ssd = SuperSegmentationDataset(working_dir=wd)

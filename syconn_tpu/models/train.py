@@ -116,7 +116,9 @@ def make_train_step(
             state.params
         )
         new_state = state.apply_gradients(grads=grads)
-        acc = jnp.mean((jnp.argmax(logits, -1) == y) * (y >= 0))
+        valid = y >= 0
+        acc = jnp.sum((jnp.argmax(logits, -1) == y) & valid) / jnp.maximum(
+            jnp.sum(valid), 1)  # ignore-label (-1) points excluded
         return new_state, {"loss": loss, "acc": acc}
 
     if mesh is None:
@@ -150,7 +152,9 @@ def make_class_train_step(mesh: Optional[Mesh] = None, dict_output: bool = False
 
         (loss, logits), grads = jax.value_and_grad(compute_loss, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads=grads)
-        acc = jnp.mean((jnp.argmax(logits, -1) == y) * (y >= 0))
+        valid = y >= 0
+        acc = jnp.sum((jnp.argmax(logits, -1) == y) & valid) / jnp.maximum(
+            jnp.sum(valid), 1)  # ignore-label (-1) points excluded
         return new_state, {"loss": loss, "acc": acc}
 
     if mesh is None:
