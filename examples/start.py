@@ -251,7 +251,7 @@ def main():
 
     log.info("Step 1/9 - Predicting sub-cellular structures")
     ftimer.start("Dense predictions")
-    exec_dense_prediction.predict_myelin(mag=4)
+    exec_dense_prediction.predict_myelin()  # mag from the model meta
     ftimer.stop()
 
     log.info("Step 2/9 - Creating SegmentationDatasets (incl. SV meshes)")

@@ -31,6 +31,7 @@ def train_toy_dense_models(
     seed: int = 0,
     log_cb=None,
     variant_overrides: Optional[Dict[str, dict]] = None,
+    task_mags: Optional[Dict[str, int]] = None,
 ) -> Dict[str, float]:
     """Train dense models on toy-world ground truth and persist them to the
     working directory's model paths. Returns final accuracies.
@@ -50,8 +51,27 @@ def train_toy_dense_models(
     rng = np.random.default_rng(seed)
     worlds = [world] if isinstance(world, dict) else list(world)
     raws = [w["raw"] for w in worlds]
-    tile = np.minimum(np.asarray(tile), np.min([r.shape for r in raws], axis=0))
-    his = [np.maximum(np.array(r.shape) - tile, 1) for r in raws]
+    req_tile = np.asarray(tile)
+    if task_mags is None:
+        # myelin deploys at mag 4 (exec_dense_prediction.predict_myelin);
+        # a model trained at mag 1 predicts NOTHING on mean-pooled mag-4
+        # input (measured: mag-4 recall 0, mag-1 recall 0.98) — train each
+        # task at its deployment mag.
+        task_mags = {"myelin": 4}
+
+    def _pool_mean(a, f):
+        s = (np.asarray(a.shape) // f) * f
+        a = a[: s[0], : s[1], : s[2]]
+        return (
+            a.reshape(s[0] // f, f, s[1] // f, f, s[2] // f, f)
+            .mean(axis=(1, 3, 5))
+            .astype(np.uint8)
+        )
+
+    def _pool_any(a, f):
+        s = (np.asarray(a.shape) // f) * f
+        a = a[: s[0], : s[1], : s[2]]
+        return a.reshape(s[0] // f, f, s[1] // f, f, s[2] // f, f).max(axis=(1, 3, 5))
 
     # labels per task, per world
     label_vols: Dict[str, list] = {}
@@ -88,11 +108,24 @@ def train_toy_dense_models(
         if variant_overrides and task in variant_overrides:
             kw.update(variant_overrides[task])
         model = UNet3D(**kw)
+        mag = int(task_mags.get(task, 1))
+        t_raws = raws if mag == 1 else [_pool_mean(r, mag) for r in raws]
+        task_vols = label_vols[task]
+        if mag != 1:
+            task_vols = [_pool_any(lv, mag) for lv in task_vols]
+        # tile must divide by the model's total per-axis downsampling
+        # (patchify * encoder strides), and fit the (possibly mag-pooled)
+        # smallest world
+        factor = np.asarray(kw.get("patch", (4, 4, 2)), np.int64).copy()
+        for s in kw.get("strides", ((2, 2, 2), (2, 2, 2))):
+            factor *= np.asarray(s, np.int64)
+        tile = np.minimum(req_tile, np.min([r.shape for r in t_raws], axis=0))
+        tile = np.maximum(tile // factor, 1) * factor
+        his = [np.array(r.shape) - tile for r in t_raws]
         state = make_train_state(model, (1, *tile, 1), learning_rate=learning_rate)
         # inverse-frequency class weights (organelles are <3% of the volume)
         from ..models.train import weighted_xent
 
-        task_vols = label_vols[task]
         # foreground-centered tiles half the time, CLASS-BALANCED: pick a
         # present foreground class uniformly, then a voxel of it. Without
         # the balancing, abundant classes (mi/vc blobs) crowd out thin rare
@@ -112,9 +145,9 @@ def train_toy_dense_models(
                 c = cls[rng.integers(len(cls))]
                 off = np.clip(c - np.asarray(tile) // 2, 0, his[wi])
             else:
-                off = np.array([rng.integers(0, h) for h in his[wi]])
+                off = np.array([rng.integers(0, h + 1) for h in his[wi]])
             sl = tuple(slice(o, o + t) for o, t in zip(off, tile))
-            return raws[wi][sl], task_vols[wi][sl]
+            return t_raws[wi][sl], task_vols[wi][sl]
         # class weights from the EFFECTIVE sampled distribution: with
         # fg-centered oversampling the rare classes are already boosted in
         # the batch stream, so weighting by the *global* volume frequency
@@ -146,6 +179,7 @@ def train_toy_dense_models(
                 acc = float(m["acc"])
                 (log_cb or log.info)(f"[{task}] step {i + 1}/{steps} acc {acc:.3f}")
         mpath = getattr(cfg, f"mpath_{task}")
-        save_model(mpath, model, state.params, extra_meta={"task": task, "toy_steps": steps})
+        save_model(mpath, model, state.params,
+                   extra_meta={"task": task, "toy_steps": steps, "mag": mag})
         accs[task] = acc
     return accs

@@ -240,9 +240,17 @@ def train_toy_point_models(
     seed: int = 0,
     log_cb=None,
     extra_pools=None,
+    extra_weight: float = 0.75,
+    task_npoints: Optional[Dict[str, int]] = None,
 ) -> Dict[str, float]:
     """Train the point models on neuron worlds and persist them to the
-    working directory's ``mpath_*_pts`` model dirs. Returns final metrics."""
+    working directory's ``mpath_*_pts`` model dirs. Returns final metrics.
+
+    ``extra_pools``: (pools, surf_pools) built from PIPELINE-PROCESSED
+    working dirs (``pipeline_cloud_pools``) — reconstruction clouds in the
+    deployment distribution. When present, batches draw from them with
+    probability ``extra_weight`` (voxel-cloud training alone scored 1.0 on
+    voxel eval but ~0.5 through the pipeline — distribution shift)."""
     import jax.numpy as jnp
 
     from ..models.io import save_model
@@ -257,12 +265,21 @@ def train_toy_point_models(
     cfg = global_params.config
     rng = np.random.default_rng(seed)
     emit = log_cb or log.info
+    if task_npoints is None:
+        # spiness deploys on small, spine-scale contexts (the pipeline reads
+        # the npoints from the model meta); compartment/celltype/glia use
+        # the full 2048-point contexts — training each task at a different
+        # density than its deployment costs ~20 accuracy points (measured
+        # on the 512-pt-trained compartment model: 0.36 on 2048-pt clouds)
+        task_npoints = {"spiness": 512}
+    np_sp = int(task_npoints.get("spiness", npoints))
 
     # ---- pre-extract per-cell context pools (the expensive host work)
     # each entry: (ctxs, comp_labels, spin_labels, celltype, is_glia)
     pools: List[Tuple[np.ndarray, np.ndarray, np.ndarray, int, bool]] = []
     surf_pools: List[Tuple[np.ndarray, int]] = []  # surface-only (glia path)
     spine_pools: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []  # head-centered
+    pools_sp: List[Tuple[np.ndarray, np.ndarray]] = []  # spiness-npoints general
     for wi, world in enumerate(worlds):
         ct = world["celltype_gt"]
         for cid in range(1, len(ct)):
@@ -287,40 +304,58 @@ def train_toy_point_models(
             ).reshape(-1, 3) * scale_nm[None]
             if len(spine_centers):
                 spx, spls, ssls = _cell_contexts(
-                    world, cid, npoints, 20_000.0, None, r,
+                    world, cid, np_sp, 20_000.0, None, r,
                     label_kind="both", centers_nm=spine_centers,
                 )
                 if spx is not None and len(spx):
                     spine_pools.append((spx, spls, ssls))
+            if np_sp != npoints and "spiness" in tasks:
+                sx, _spl, ssl = _cell_contexts(world, cid, np_sp, 20_000.0, 4,
+                                               r, label_kind="both")
+                if sx is not None and len(sx):
+                    pools_sp.append((sx, ssl))
             sctx, _ = _cell_contexts(world, cid, npoints, 15_000.0, 6, r,
                                      surface_only=True)
             if sctx is not None and len(sctx):
                 surf_pools.append((sctx, int(ct[cid] == 3)))
+    e_pools: List[Tuple[np.ndarray, np.ndarray, np.ndarray, int, bool]] = []
+    e_surf: List[Tuple[np.ndarray, int]] = []
     if extra_pools is not None:
-        ep, esp = extra_pools
-        pools.extend(ep)
-        surf_pools.extend(esp)
-    emit(f"[pts] context pools: {len(pools)} cells, "
-         f"{sum(len(p[0]) for p in pools)} contexts")
+        e_pools, e_surf = extra_pools
+    emit(f"[pts] context pools: {len(pools)} voxel cells "
+         f"({sum(len(p[0]) for p in pools)} ctxs), {len(e_pools)} "
+         f"reconstruction cells ({sum(len(p[0]) for p in e_pools)} ctxs)")
 
     metrics: Dict[str, float] = {}
 
-    def batches_cls(pool, key):
+    def pick(vox_list, ex_list):
+        """One cell entry, reconstruction-weighted when both exist."""
+        if ex_list and (not vox_list or rng.random() < extra_weight):
+            return ex_list[rng.integers(len(ex_list))]
+        return vox_list[rng.integers(len(vox_list))]
+
+    def batches_cls(key):
         while True:
             xs, ys = [], []
             for _ in range(batch):
-                ctxs, pls, sls, ct_i, is_g = pool[rng.integers(len(pool))]
+                ctxs, pls, sls, ct_i, is_g = pick(
+                    pools if key == "celltype" else surf_pools_cls,
+                    e_pools if key == "celltype" else e_surf_cls)
                 j = rng.integers(len(ctxs))
                 xs.append(augment_context(ctxs[j], rng))
                 ys.append(ct_i if key == "celltype" else int(is_g))
             yield np.stack(xs), np.asarray(ys, np.int32)
+
+    # surface pools normalized to the 5-tuple shape for `pick`
+    surf_pools_cls = [(s, None, None, None, g) for s, g in surf_pools]
+    e_surf_cls = [(s, None, None, None, g) for s, g in e_surf]
 
     # --------------------------------------------------------- celltype
     if "celltype" in tasks:
         model = PointClassNet(n_classes=8)
         state = make_train_state(model, (1, npoints, 7), learning_rate=learning_rate)
         step_fn = make_class_train_step(dict_output=True)
-        gen = batches_cls(pools, "celltype")
+        gen = batches_cls("celltype")
         acc = 0.0
         for i in range(steps):
             x, y = next(gen)
@@ -341,10 +376,10 @@ def train_toy_point_models(
         for i in range(steps):
             xs, ys = [], []
             for _ in range(batch):
-                sctx, is_g = surf_pools[rng.integers(len(surf_pools))]
+                sctx, *_unused, is_g = pick(surf_pools_cls, e_surf_cls)
                 j = rng.integers(len(sctx))
                 xs.append(augment_context(sctx[j], rng))
-                ys.append(np.full(npoints, is_g, np.int32))
+                ys.append(np.full(npoints, int(is_g), np.int32))
             state, m = step_fn(state, jnp.asarray(np.stack(xs)),
                                jnp.asarray(np.stack(ys)))
             if (i + 1) % 50 == 0:
@@ -361,8 +396,9 @@ def train_toy_point_models(
     ):
         if task not in tasks:
             continue
+        t_np = np_sp if task == "spiness" else npoints
         model = PointSegNet(n_classes=n_cls)
-        state = make_train_state(model, (1, npoints, 7), learning_rate=learning_rate)
+        state = make_train_state(model, (1, t_np, 7), learning_rate=learning_rate)
         # class-weighted loss: spine heads/necks are a few points per
         # 2048-point context, and the unweighted model never predicted
         # the head class at all (pipeline spinehead extraction found 0
@@ -370,7 +406,7 @@ def train_toy_point_models(
         from ..models.train import weighted_xent
 
         freqs = np.ones(n_cls, np.float64)
-        for entry in pools:
+        for entry in pools + (e_pools if task == "compartment" else []):
             lv = entry[lab_ix].reshape(-1)
             freqs += np.bincount(lv[lv >= 0], minlength=n_cls)
         cw = np.sqrt(freqs.sum() / freqs)
@@ -378,27 +414,35 @@ def train_toy_point_models(
         cw = cw / cw.mean()
         step_fn = make_train_step(loss_fn=weighted_xent(cw))
         acc = 0.0
+        # spiness draws from its own npoints-matched pools
+        sp_general = pools_sp if (np_sp != npoints and pools_sp) else None
         for i in range(steps):
             xs, ys = [], []
             for _ in range(batch):
-                # spiness: half the stream from spine-head-centered
-                # contexts so the head class anchors enough batches
-                if task == "spiness" and spine_pools and rng.random() < 0.5:
-                    sp = spine_pools[rng.integers(len(spine_pools))]
-                    entry = (sp[0], sp[1], sp[2])
+                if task == "spiness":
+                    # half the stream from spine-head-centered contexts so
+                    # the head class anchors enough batches
+                    if spine_pools and (sp_general is None or rng.random() < 0.5):
+                        sp = spine_pools[rng.integers(len(spine_pools))]
+                        ctxs, lab = sp[0], sp[2]
+                    elif sp_general is not None:
+                        ctxs, lab = sp_general[rng.integers(len(sp_general))]
+                    else:
+                        entry = pools[rng.integers(len(pools))]
+                        ctxs, lab = entry[0], entry[lab_ix]
                 else:
-                    entry = pools[rng.integers(len(pools))]
-                ctxs = entry[0]
+                    entry = pick(pools, e_pools)
+                    ctxs, lab = entry[0], entry[lab_ix]
                 j = rng.integers(len(ctxs))
                 xs.append(augment_context(ctxs[j], rng))
-                ys.append(entry[lab_ix][j])
+                ys.append(lab[j])
             state, m = step_fn(state, jnp.asarray(np.stack(xs)),
                                jnp.asarray(np.stack(ys).astype(np.int32)))
             if (i + 1) % 50 == 0:
                 acc = float(m["acc"])
                 emit(f"[{task}_pts] step {i + 1}/{steps} acc {acc:.3f}")
         save_model(mpath, model, state.params,
-                   extra_meta={"task": f"{task}_pts", "toy_steps": steps, "npoints": npoints})
+                   extra_meta={"task": f"{task}_pts", "toy_steps": steps, "npoints": t_np})
         metrics[task] = acc
 
     # ------------------------------------------------------------- tnet
@@ -408,17 +452,18 @@ def train_toy_point_models(
         state = make_train_state(model, (1, npoints, 7), learning_rate=learning_rate)
         step_fn = make_triplet_train_step()
         lossv = 0.0
+        tn_pools = pools + e_pools
         for i in range(steps):
             xa, xp, xn = [], [], []
             for _ in range(batch):
-                ia = rng.integers(len(pools))
-                ctxa = pools[ia][0]
+                ia = rng.integers(len(tn_pools))
+                ctxa = tn_pools[ia][0]
                 # (pools entries are (ctxs, comp, spin, ct, is_glia))
                 j1, j2 = rng.integers(len(ctxa)), rng.integers(len(ctxa))
-                inn = rng.integers(len(pools))
-                while inn == ia and len(pools) > 1:
-                    inn = rng.integers(len(pools))
-                ctxn = pools[inn][0]
+                inn = rng.integers(len(tn_pools))
+                while inn == ia and len(tn_pools) > 1:
+                    inn = rng.integers(len(tn_pools))
+                ctxn = tn_pools[inn][0]
                 xa.append(augment_context(ctxa[j1], rng))
                 xp.append(augment_context(ctxa[j2], rng))
                 xn.append(augment_context(ctxn[rng.integers(len(ctxn))], rng))

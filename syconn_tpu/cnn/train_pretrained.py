@@ -31,10 +31,12 @@ HELD_OUT_SEEDS = (777, 1901, 2718)
 
 
 def dense_heldout_iou(world, tasks=("organelles",)) -> dict:
-    """IoU of the persisted dense models on a held-out world."""
+    """IoU of the persisted dense models on a held-out world, each scored
+    at its deployment mag (model meta ``mag``: raw mean-pooled, GT
+    any-pooled — matching the KD pyramid and predict_* behavior)."""
     from .. import global_params
     from ..inference.dense import DenseTilePredictor
-    from ..models.io import get_or_init_model
+    from ..models.io import get_or_init_model, load_model_meta
     from ..models.unet3d import UNet3D, unet_variants
 
     cfg = global_params.config
@@ -43,12 +45,25 @@ def dense_heldout_iou(world, tasks=("organelles",)) -> dict:
         def builder(t=task):
             return UNet3D(**unet_variants(t)), (1, 64, 64, 32, 1)
 
-        model, params = get_or_init_model(getattr(cfg, f"mpath_{task}"), builder)
+        mpath = getattr(cfg, f"mpath_{task}")
+        model, params = get_or_init_model(mpath, builder)
+        try:
+            mag = int(load_model_meta(mpath).get("mag", 1))
+        except FileNotFoundError:
+            mag = 1
+
+        def _pool(a, f, how):
+            s = (np.asarray(a.shape) // f) * f
+            a = a[: s[0], : s[1], : s[2]]
+            r = a.reshape(s[0] // f, f, s[1] // f, f, s[2] // f, f)
+            return r.mean((1, 3, 5)).astype(np.uint8) if how == "mean" else r.max((1, 3, 5))
+
+        raw = world["raw"] if mag == 1 else _pool(world["raw"], mag, "mean")
+        tile = tuple(np.minimum((128, 128, 64), raw.shape))
         pred = DenseTilePredictor(
-            model, params, tile_shape=(128, 128, 64), halo=(16, 16, 8),
-            mode="probs",
+            model, params, tile_shape=tile, halo=(16, 16, 8), mode="probs",
         )
-        probs = pred.predict_array(world["raw"])
+        probs = pred.predict_array(raw)
         lab = np.argmax(probs, axis=-1)
         if task == "organelles":
             gt = np.zeros(world["raw"].shape, np.int32)
@@ -57,8 +72,10 @@ def dense_heldout_iou(world, tasks=("organelles",)) -> dict:
             gt[world["sj"] > 0] = 3
             names = {1: "mi", 2: "vc", 3: "sj"}
         else:
-            gt = (world.get("myelin", np.zeros_like(lab)) > 0).astype(np.int32)
+            gt = (world.get("myelin", np.zeros(world["raw"].shape)) > 0).astype(np.int32)
             names = {1: "myelin"}
+        if mag != 1:
+            gt = _pool(gt, mag, "any")
         for c, nm in names.items():
             inter = int(((lab == c) & (gt == c)).sum())
             union = int(((lab == c) | (gt == c)).sum())
@@ -78,6 +95,29 @@ def main():
     parser.add_argument("--package", action="store_true",
                         help="copy the trained weights into "
                              "syconn_tpu/models/pretrained/")
+    parser.add_argument("--pipeline_worlds", type=int, default=0,
+                        help="process this many training worlds through the "
+                             "FULL pipeline (subprocess, packaged dense "
+                             "models) and train the point models on the "
+                             "resulting reconstruction clouds — the "
+                             "deployment distribution")
+    parser.add_argument("--pipe_dir", type=str, default="",
+                        help="cache dir for the pipeline-processed training "
+                             "worlds (reused across runs)")
+    parser.add_argument("--skip_dense", action="store_true",
+                        help="keep the packaged dense models; train points only")
+    parser.add_argument("--dense_tasks", type=str, nargs="+",
+                        default=["organelles", "myelin", "syntype"],
+                        help="which dense models to (re)train")
+    parser.add_argument("--pts_tasks", type=str, nargs="+",
+                        default=["celltype", "glia", "compartment", "spiness", "tnet"],
+                        help="which point models to (re)train")
+    parser.add_argument("--myelin_mag", type=int, default=2,
+                        help="deployment mag for the myelin model. The toy "
+                             "world's sheaths are 2-3 mag-1 voxels thin — "
+                             "mag 4 (the reference's choice on real 10nm EM) "
+                             "under-resolves them; examples/start.py reads "
+                             "the trained mag from the model meta")
     args = parser.parse_args()
 
     from .. import global_params
@@ -101,22 +141,56 @@ def main():
     held = generate_neuron_world(
         shape=tuple(args.shape), n_cells=args.n_cells, seed=args.eval_seed)
 
-    print("=== dense training ===", flush=True)
-    dense_acc = train_toy_dense_models(
-        worlds, steps=args.steps_dense,
-        tasks=("organelles", "myelin", "syntype"),
-        variant_overrides={"organelles": dict(
-            features=(32, 64), strides=((2, 2, 2),), patch=(2, 2, 2))},
-        log_cb=lambda m: print(m, flush=True),
-    )
-    print("dense train metrics:", dense_acc, flush=True)
-    iou = dense_heldout_iou(held)
-    print("dense held-out IoU:", iou, flush=True)
+    dense_acc, iou = {}, {}
+    if not args.skip_dense:
+        print("=== dense training ===", flush=True)
+        dense_acc = train_toy_dense_models(
+            worlds, steps=args.steps_dense,
+            tasks=tuple(args.dense_tasks),
+            variant_overrides={"organelles": dict(
+                features=(32, 64), strides=((2, 2, 2),), patch=(2, 2, 2))},
+            task_mags={"myelin": args.myelin_mag},
+            log_cb=lambda m: print(m, flush=True),
+        )
+        print("dense train metrics:", dense_acc, flush=True)
+        iou = dense_heldout_iou(held, tasks=tuple(
+            t for t in args.dense_tasks if t in ("organelles", "myelin")))
+        print("dense held-out IoU:", iou, flush=True)
+
+    extra = None
+    if args.pipeline_worlds:
+        # reconstruction clouds in the deployment distribution: run the
+        # full pipeline (with the PACKAGED dense models) on training seeds
+        # and harvest mesh-vertex clouds + GT labels from the results
+        from ..utils.quality_metrics import run_quality_pipeline
+        from .toy_points import pipeline_cloud_pools
+
+        pdir = args.pipe_dir or os.path.join(wd, "pipe_worlds")
+        os.makedirs(pdir, exist_ok=True)
+        ep_all, esp_all = [], []
+        for s in seeds[: args.pipeline_worlds]:
+            pwd = os.path.join(pdir, f"seed{s}")
+            if not os.path.exists(os.path.join(pwd, "neuron_gt.npz")):
+                t1 = time.time()
+                run_quality_pipeline(pwd, s, shape=tuple(args.shape),
+                                     n_cells=args.n_cells)
+                print(f"pipeline world seed {s}: {time.time() - t1:.0f}s",
+                      flush=True)
+            ep, esp = pipeline_cloud_pools(pwd, seed=s)
+            ep_all.extend(ep)
+            esp_all.extend(esp)
+            print(f"pipeline world seed {s}: {len(ep)} cells harvested",
+                  flush=True)
+        extra = (ep_all, esp_all)
+        global_params.wd = wd  # pipeline_cloud_pools restores, but be sure
+        global_params.config._parse_config()
 
     print("=== point training ===", flush=True)
     pts_acc = train_toy_point_models(
         worlds, steps=args.steps_pts,
+        tasks=tuple(args.pts_tasks),
         log_cb=lambda m: print(m, flush=True),
+        extra_pools=extra,
     )
     print("point train metrics:", pts_acc, flush=True)
     ev = eval_toy_point_models(held)

@@ -55,10 +55,19 @@ def _tile_params(mag: int, tile_shape=None, halo=None):
     return tile_shape, halo
 
 
-def predict_myelin(mag: int = 4, tile_shape=None, halo=None):
-    """Myelin probability map at ``mag`` (reference: exec_dense_prediction.py:12)."""
+def predict_myelin(mag: Optional[int] = None, tile_shape=None, halo=None):
+    """Myelin probability map at ``mag`` (reference: exec_dense_prediction.py:12).
+
+    ``mag=None`` reads the deployment mag from the model meta (the packaged
+    toy-world model trains at mag 2 — its sheaths are 2-3 mag-1 voxels thin;
+    the reference's mag 4 is calibrated for real 10nm EM) and falls back to
+    the reference's 4."""
     log = initialize_logging("dense_prediction")
     cfg = global_params.config
+    if mag is None:
+        from ..models.io import load_model_meta
+
+        mag = int(load_model_meta(cfg.mpath_myelin).get("mag", 4))
     model, params = _load_unet(cfg.mpath_myelin, "myelin")
     tile_shape, halo = _tile_params(mag, tile_shape, halo)
     stats = predict_dense_to_kd(

@@ -130,14 +130,25 @@ def generate_skeletons(
 
 
 def map_myelin2coords(
-    coords_vx: np.ndarray, mag: int = 1, thresh: float = 128.0
+    coords_vx: np.ndarray, mag: Optional[int] = None, thresh: float = 128.0
 ) -> np.ndarray:
     """Myelin flag per coordinate by probing the myelin prediction volume
-    (reference: super_segmentation_helper.py:550)."""
+    (reference: super_segmentation_helper.py:550).
+
+    ``coords_vx`` are dataset mag-1 coordinates. The myelin store is written
+    in ITS OWN frame at the prediction mag (predict_myelin(mag=4) creates a
+    store whose boundary is dataset_shape/4 with scale*4); when ``mag`` is
+    None it is inferred from the store's voxel scale so node probes land in
+    the right frame — probing a mag-4 store with mag-1 coords silently
+    clipped every node to the first 1/4 of each axis."""
     cfg = global_params.config
     kd = kd_factory(cfg.kd_myelin_path)
+    if mag is None:
+        mag = max(1, int(round(float(kd.scale[0]) / float(cfg["scaling"][0]))))
+    # ``mag`` scales dataset coords into the store's frame; the store's own
+    # pyramid level is then 1 (predict_myelin writes target_mags=(1,))
     coords = np.asarray(coords_vx, np.int64) // mag
-    msh = kd.mag_shape(mag)
+    msh = kd.mag_shape(1)
     coords = np.clip(coords, 0, msh - 1)
     out = np.zeros(len(coords), np.uint8)
     # group point probes by chunk to bound IO
@@ -153,7 +164,7 @@ def map_myelin2coords(
         pts = sorted_coords[sl]
         lo = pts.min(axis=0)
         hi = pts.max(axis=0) + 1
-        cube = kd.load_raw(offset=lo, size=hi - lo, mag=mag)
+        cube = kd.load_raw(offset=lo, size=hi - lo, mag=1)
         rel = pts - lo[None]
         out[order[sl]] = (cube[rel[:, 0], rel[:, 1], rel[:, 2]] >= thresh).astype(np.uint8)
     return out
