@@ -113,6 +113,17 @@ def train_toy_dense_models(
         task_vols = label_vols[task]
         if mag != 1:
             task_vols = [_pool_any(lv, mag) for lv in task_vols]
+        if task == "myelin":
+            # the deployment consumer probes skeleton NODES — tube centers,
+            # not sheath voxels (map_myelin2coords + 10µm majority window).
+            # Dilate the 1-2-voxel sheath labels so the trained map covers
+            # the myelinated stretch interior the probes actually hit.
+            from scipy import ndimage as _ndi
+
+            task_vols = [
+                _ndi.binary_dilation((lv > 0), iterations=2).astype(np.int32)
+                for lv in task_vols
+            ]
         # tile must divide by the model's total per-axis downsampling
         # (patchify * encoder strides), and fit the (possibly mag-pooled)
         # smallest world

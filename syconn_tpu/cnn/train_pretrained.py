@@ -106,6 +106,8 @@ def main():
                              "worlds (reused across runs)")
     parser.add_argument("--skip_dense", action="store_true",
                         help="keep the packaged dense models; train points only")
+    parser.add_argument("--skip_pts", action="store_true",
+                        help="keep the packaged point models; train dense only")
     parser.add_argument("--dense_tasks", type=str, nargs="+",
                         default=["organelles", "myelin", "syntype"],
                         help="which dense models to (re)train")
@@ -185,16 +187,18 @@ def main():
         global_params.wd = wd  # pipeline_cloud_pools restores, but be sure
         global_params.config._parse_config()
 
-    print("=== point training ===", flush=True)
-    pts_acc = train_toy_point_models(
-        worlds, steps=args.steps_pts,
-        tasks=tuple(args.pts_tasks),
-        log_cb=lambda m: print(m, flush=True),
-        extra_pools=extra,
-    )
-    print("point train metrics:", pts_acc, flush=True)
-    ev = eval_toy_point_models(held)
-    print("point held-out metrics:", ev, flush=True)
+    pts_acc, ev = {}, {}
+    if not args.skip_pts:
+        print("=== point training ===", flush=True)
+        pts_acc = train_toy_point_models(
+            worlds, steps=args.steps_pts,
+            tasks=tuple(args.pts_tasks),
+            log_cb=lambda m: print(m, flush=True),
+            extra_pools=extra,
+        )
+        print("point train metrics:", pts_acc, flush=True)
+        ev = eval_toy_point_models(held)
+        print("point held-out metrics:", ev, flush=True)
 
     report = {"dense_train": dense_acc, "dense_heldout_iou": iou,
               "pts_train": pts_acc, "pts_heldout": ev,
