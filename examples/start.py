@@ -58,6 +58,14 @@ def main():
                              "model inference on the raw volume (packaged or "
                              "working-dir weights) instead of copying the "
                              "generator's ground-truth maps")
+    parser.add_argument("--kv", type=str, action="append", default=[],
+                        help="extra config override 'section.key=value' "
+                             "(repeatable; value parsed as YAML). E.g. "
+                             "physical parameters that must follow the "
+                             "dataset's scale: --kv compartments."
+                             "dist_axoness_averaging=500 on a toy-extent "
+                             "world (reference default 10000 nm assumes "
+                             "mm-scale neurites)")
     parser.add_argument("--shard_pipeline", action=argparse.BooleanOptionalAction,
                         default=None,
                         help="run the hot pipeline steps sharded over ALL "
@@ -124,6 +132,28 @@ def main():
     global_params.wd = wd
     log = initialize_logging("example_run", log_dir=wd + "/logs/")
     cfg = global_params.config
+
+    if args.kv:
+        # generic config overrides: sections replace defaults wholesale, so
+        # merge each override into the EFFECTIVE section before writing
+        import copy
+
+        import yaml as _yaml
+
+        for kv in args.kv:
+            path, _, raw = kv.partition("=")
+            keys = path.strip().split(".")
+            val = _yaml.safe_load(raw)
+            if len(keys) == 1:
+                cfg[keys[0]] = val
+            else:
+                section = copy.deepcopy(cfg[keys[0]])
+                node = section
+                for k in keys[1:-1]:
+                    node = node.setdefault(k, {})
+                node[keys[-1]] = val
+                cfg[keys[0]] = section
+        cfg.write_config()
 
     ftimer = FileTimer(wd + "/.timing.pkl", overwrite=True)
     ftimer.dataset_shape = list(args.shape)

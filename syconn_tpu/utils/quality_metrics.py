@@ -55,6 +55,11 @@ def run_quality_pipeline(
          "--seed", str(seed),
          "--world", "neuron",
          "--predict_organelles",
+         # physical smoothing window scaled to the toy world's extent
+         # (~1.6 µm across): the reference default 10000 nm assumes
+         # mm-scale neurites and would majority-vote every sparse node
+         # property (myelin stretches, axon/dendrite transitions) away
+         "--kv", "compartments.dist_axoness_averaging=500",
          "--overwrite"],
         capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO,
     )
