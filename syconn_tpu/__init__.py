@@ -14,4 +14,20 @@ Reference layer map: see SURVEY.md at the repository root.
 
 __version__ = "0.1.0"
 
-from . import global_params  # noqa: F401
+import logging as _logging
+import os as _os
+import sys as _sys
+
+# module loggers (syconn_tpu.testdata, .points, ...) propagate here; without
+# a package-level handler Python drops INFO records silently (observed: the
+# world generator's device/host dispatch decision never reached any log).
+_pkg_log = _logging.getLogger("syconn_tpu")
+if not _pkg_log.handlers and not _os.environ.get("SYCONN_TPU_QUIET"):
+    _h = _logging.StreamHandler(_sys.stdout)
+    _h.setFormatter(
+        _logging.Formatter("%(asctime)s %(name)s %(levelname)s %(message)s", "%H:%M:%S")
+    )
+    _pkg_log.addHandler(_h)
+    _pkg_log.setLevel(_logging.INFO)
+
+from . import global_params  # noqa: F401,E402

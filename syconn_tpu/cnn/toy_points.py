@@ -123,6 +123,7 @@ def _cell_contexts(world, cid, npoints, ctx_size_nm, n_contexts, rng,
 
 def pipeline_cloud_pools(
     wd: str, npoints: int = 2048, n_contexts: int = 8, seed: int = 0,
+    spiness_npoints: int = 512,
 ):
     """Training pools from a PIPELINE-PROCESSED working dir: clouds come
     from the same mesh-based ``sso2pointcloud`` the deployment path uses,
@@ -133,7 +134,12 @@ def pipeline_cloud_pools(
     through the pipeline stayed ~0.5 while voxel-cloud eval scored 1.0.
     The reference trains on reconstructions for the same reason.
 
-    Returns (pools, surf_pools) in ``train_toy_point_models`` format.
+    Returns (pools, surf_pools, sp_spine_pools, sp_general_pools) in
+    ``train_toy_point_models`` format: the last two are spiness-geometry
+    pools at ``spiness_npoints`` (spine-head-centered / general), each
+    entry (ctxs, spin_labels) — without them the spiness semseg trains on
+    voxel clouds only and collapses on reconstruction clouds (0 head
+    vertices predicted through the pipeline).
     """
     import os
 
@@ -144,6 +150,7 @@ def pipeline_cloud_pools(
     gt = np.load(os.path.join(wd, "neuron_gt.npz"))
     prev = global_params.wd
     pools, surf_pools = [], []
+    sp_spine_pools, sp_general_pools = [], []
     try:
         global_params.wd = wd
         global_params.config._parse_config()
@@ -198,6 +205,28 @@ def pipeline_cloud_pools(
             pls = np.stack([labels[ix] for ix in idx_lists])
             sls = np.stack([slabels[ix] for ix in idx_lists])
             pools.append((ctxs, pls, sls, int(ct_gt[cell]), ct_gt[cell] == 3))
+            # spiness-geometry pools at the spiness model's deployment
+            # density: spine-head-centered (the sites the spinehead-volume
+            # step later queries) + general coverage
+            spine_centers = (
+                gt["syn_coords"][gt["syn_on_spine"] & (gt["syn_post"] == cell)]
+                * scale[None]
+            )
+            if len(spine_centers):
+                spx, sp_ix = extract_contexts(
+                    coords, types, ctx_size_nm=20_000.0,
+                    npoints=spiness_npoints, centers_nm=spine_centers, rng=r,
+                )
+                if len(spx):
+                    sp_spine_pools.append(
+                        (spx, np.stack([slabels[ix] for ix in sp_ix])))
+            gx, g_ix = extract_contexts(
+                coords, types, ctx_size_nm=20_000.0, npoints=spiness_npoints,
+                n_contexts=4, rng=r,
+            )
+            if len(gx):
+                sp_general_pools.append(
+                    (gx, np.stack([slabels[ix] for ix in g_ix])))
             sel = types == 0
             if sel.any():
                 sctx, _ = extract_contexts(
@@ -208,7 +237,7 @@ def pipeline_cloud_pools(
                     surf_pools.append((sctx, int(ct_gt[cell] == 3)))
     finally:
         global_params.wd = prev
-    return pools, surf_pools
+    return pools, surf_pools, sp_spine_pools, sp_general_pools
 
 
 def augment_context(ctx: np.ndarray, rng: np.random.Generator) -> np.ndarray:
@@ -320,8 +349,12 @@ def train_toy_point_models(
                 surf_pools.append((sctx, int(ct[cid] == 3)))
     e_pools: List[Tuple[np.ndarray, np.ndarray, np.ndarray, int, bool]] = []
     e_surf: List[Tuple[np.ndarray, int]] = []
+    e_sp_spine: List[Tuple[np.ndarray, np.ndarray]] = []
+    e_sp_general: List[Tuple[np.ndarray, np.ndarray]] = []
     if extra_pools is not None:
-        e_pools, e_surf = extra_pools
+        e_pools, e_surf = extra_pools[0], extra_pools[1]
+        if len(extra_pools) >= 4:
+            e_sp_spine, e_sp_general = extra_pools[2], extra_pools[3]
     emit(f"[pts] context pools: {len(pools)} voxel cells "
          f"({sum(len(p[0]) for p in pools)} ctxs), {len(e_pools)} "
          f"reconstruction cells ({sum(len(p[0]) for p in e_pools)} ctxs)")
@@ -397,8 +430,17 @@ def train_toy_point_models(
         if task not in tasks:
             continue
         t_np = np_sp if task == "spiness" else npoints
-        model = PointSegNet(n_classes=n_cls)
+        # two stacked kNN stages: per-point semseg needs mid-range geometry
+        # (tube caliber, soma curvature) that one local stage + a global
+        # pool cannot express (measured node acc ~0.46 with 1 stage)
+        model = PointSegNet(n_classes=n_cls, knn_stages=2)
         state = make_train_state(model, (1, t_np, 7), learning_rate=learning_rate)
+        # spiness pools at the model's own point density: voxel-cloud
+        # spine-centered/general + the RECONSTRUCTION-cloud equivalents
+        # (deployment distribution — voxel-only training collapsed on the
+        # head class through the pipeline)
+        sp_spine_all = [(p[0], p[2]) for p in spine_pools] + e_sp_spine
+        sp_gen_all = (list(pools_sp) if np_sp != npoints else []) + e_sp_general
         # class-weighted loss: spine heads/necks are a few points per
         # 2048-point context, and the unweighted model never predicted
         # the head class at all (pipeline spinehead extraction found 0
@@ -406,27 +448,29 @@ def train_toy_point_models(
         from ..models.train import weighted_xent
 
         freqs = np.ones(n_cls, np.float64)
-        for entry in pools + (e_pools if task == "compartment" else []):
-            lv = entry[lab_ix].reshape(-1)
-            freqs += np.bincount(lv[lv >= 0], minlength=n_cls)
+        if task == "spiness" and (sp_spine_all or sp_gen_all):
+            for ctxs_, lab_ in sp_spine_all + sp_gen_all:
+                lv = lab_.reshape(-1)
+                freqs += np.bincount(lv[lv >= 0], minlength=n_cls)
+        else:
+            for entry in pools + (e_pools if task == "compartment" else []):
+                lv = entry[lab_ix].reshape(-1)
+                freqs += np.bincount(lv[lv >= 0], minlength=n_cls)
         cw = np.sqrt(freqs.sum() / freqs)
         cw = np.minimum(cw / cw.min(), 16.0)
         cw = cw / cw.mean()
         step_fn = make_train_step(loss_fn=weighted_xent(cw))
         acc = 0.0
-        # spiness draws from its own npoints-matched pools
-        sp_general = pools_sp if (np_sp != npoints and pools_sp) else None
         for i in range(steps):
             xs, ys = [], []
             for _ in range(batch):
                 if task == "spiness":
                     # half the stream from spine-head-centered contexts so
                     # the head class anchors enough batches
-                    if spine_pools and (sp_general is None or rng.random() < 0.5):
-                        sp = spine_pools[rng.integers(len(spine_pools))]
-                        ctxs, lab = sp[0], sp[2]
-                    elif sp_general is not None:
-                        ctxs, lab = sp_general[rng.integers(len(sp_general))]
+                    if sp_spine_all and (not sp_gen_all or rng.random() < 0.5):
+                        ctxs, lab = sp_spine_all[rng.integers(len(sp_spine_all))]
+                    elif sp_gen_all:
+                        ctxs, lab = sp_gen_all[rng.integers(len(sp_gen_all))]
                     else:
                         entry = pools[rng.integers(len(pools))]
                         ctxs, lab = entry[0], entry[lab_ix]

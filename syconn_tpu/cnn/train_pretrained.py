@@ -169,7 +169,7 @@ def main():
 
         pdir = args.pipe_dir or os.path.join(wd, "pipe_worlds")
         os.makedirs(pdir, exist_ok=True)
-        ep_all, esp_all = [], []
+        ep_all, esp_all, esps_all, espg_all = [], [], [], []
         for s in seeds[: args.pipeline_worlds]:
             pwd = os.path.join(pdir, f"seed{s}")
             if not os.path.exists(os.path.join(pwd, "neuron_gt.npz")):
@@ -178,12 +178,14 @@ def main():
                                      n_cells=args.n_cells)
                 print(f"pipeline world seed {s}: {time.time() - t1:.0f}s",
                       flush=True)
-            ep, esp = pipeline_cloud_pools(pwd, seed=s)
+            ep, esp, esps, espg = pipeline_cloud_pools(pwd, seed=s)
             ep_all.extend(ep)
             esp_all.extend(esp)
-            print(f"pipeline world seed {s}: {len(ep)} cells harvested",
-                  flush=True)
-        extra = (ep_all, esp_all)
+            esps_all.extend(esps)
+            espg_all.extend(espg)
+            print(f"pipeline world seed {s}: {len(ep)} cells harvested "
+                  f"({len(esps)} spine-centered spiness pools)", flush=True)
+        extra = (ep_all, esp_all, esps_all, espg_all)
         global_params.wd = wd  # pipeline_cloud_pools restores, but be sure
         global_params.config._parse_config()
 

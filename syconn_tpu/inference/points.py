@@ -55,6 +55,16 @@ def certainty_estimate(logits: np.ndarray, is_logit: bool = True) -> float:
     return float(1.0 - ent)
 
 
+# organelle/synapse vertex budget relative to the cell-surface vertex
+# count: syn_ssv meshes are dense relative to toy cell meshes, and without
+# a cap they flooded 40-77% of the cloud (varying arbitrarily per cell) —
+# pure noise that swamped the organelle-density celltype signature and
+# halved the geometry budget of compartment contexts. The reference
+# controls the same balance with per-type downsampling ratios
+# (prediction_pts.py pts_feat_ds_dict).
+TYPE_RATIO_CAP = {"mi": 0.35, "vc": 0.35, "sj": 0.35}
+
+
 def sso2pointcloud(
     ssv,
     feats: Sequence[str] = FEATURE_TYPES,
@@ -65,6 +75,7 @@ def sso2pointcloud(
     Returns (coords_nm (N, 3), type_index (N,)).
     """
     coords, types = [], []
+    n_cell = None
     for ti, t in enumerate(feats):
         try:
             if t == "sj" and "syn_ssv" not in (ssv.attr_dict or {}):
@@ -78,9 +89,14 @@ def sso2pointcloud(
         if mesh is None or len(mesh[1]) == 0:
             continue
         v = np.asarray(mesh[1], np.float32).reshape(-1, 3)
-        if len(v) > max_points_per_type:
-            sel = np.linspace(0, len(v) - 1, max_points_per_type).astype(np.int64)
+        cap = max_points_per_type
+        if t in TYPE_RATIO_CAP and n_cell:
+            cap = min(cap, max(int(n_cell * TYPE_RATIO_CAP[t]), 32))
+        if len(v) > cap:
+            sel = np.linspace(0, len(v) - 1, cap).astype(np.int64)
             v = v[sel]
+        if ti == 0:
+            n_cell = len(v)
         coords.append(v)
         types.append(np.full(len(v), ti, np.int32))
     if not coords:

@@ -33,9 +33,9 @@ def knn_group(xyz: jnp.ndarray, feats: jnp.ndarray, k: int = 16) -> jnp.ndarray:
     """
     d2 = jnp.sum((xyz[:, :, None, :] - xyz[:, None, :, :]) ** 2, axis=-1)  # (B,N,N)
     _, idx = jax.lax.top_k(-d2, k)  # (B, N, k)
-    grouped = jnp.take_along_axis(
-        feats[:, None, :, :].repeat(feats.shape[1], axis=1), idx[..., None], axis=2
-    )  # (B, N, k, C)
+    # plain per-batch gather (vmap) — an explicit (B, N, N, C) broadcast
+    # before the gather would be O(N^2 C) memory
+    grouped = jax.vmap(lambda f, ix: f[ix])(feats, idx)  # (B, N, k, C)
     return jnp.max(grouped, axis=2)
 
 
@@ -43,6 +43,7 @@ class _PointBackbone(nn.Module):
     widths: Sequence[int] = (64, 128, 256)
     k: int = 16
     dtype: jnp.dtype = jnp.bfloat16
+    knn_stages: int = 1
 
     @nn.compact
     def __call__(self, pts):
@@ -52,10 +53,12 @@ class _PointBackbone(nn.Module):
             h = nn.Dense(w, dtype=self.dtype)(h)
             h = nn.LayerNorm(dtype=jnp.float32)(h).astype(self.dtype)
             h = nn.gelu(h)
-            if i == 0:
-                # one local-geometry aggregation stage
+            if i < self.knn_stages:
+                # local-geometry aggregation stage(s): stacking them grows
+                # the receptive field (neighbors-of-neighbors), which
+                # per-point MLP + one global pool cannot express
                 h = jnp.concatenate([h, knn_group(xyz, h, self.k)], axis=-1)
-        return h  # (B, N, widths[-1] [+ widths[0] from concat])
+        return h  # (B, N, widths[-1] [+ widths[i] per knn stage concat])
 
 
 class PointClassNet(nn.Module):
@@ -67,10 +70,11 @@ class PointClassNet(nn.Module):
     k: int = 16
     embed_dim: int = 0  # >0: also emit an embedding head (tCMN analog)
     dtype: jnp.dtype = jnp.bfloat16
+    knn_stages: int = 1
 
     @nn.compact
     def __call__(self, pts):
-        h = _PointBackbone(self.widths, self.k, self.dtype)(pts)
+        h = _PointBackbone(self.widths, self.k, self.dtype, self.knn_stages)(pts)
         g = jnp.concatenate([jnp.max(h, axis=1), jnp.mean(h, axis=1)], axis=-1)
         g = nn.Dense(256, dtype=self.dtype)(g)
         g = nn.gelu(nn.LayerNorm(dtype=jnp.float32)(g).astype(self.dtype))
@@ -93,10 +97,11 @@ class PointSegNet(nn.Module):
     widths: Sequence[int] = (64, 128, 256)
     k: int = 16
     dtype: jnp.dtype = jnp.bfloat16
+    knn_stages: int = 1
 
     @nn.compact
     def __call__(self, pts):
-        h = _PointBackbone(self.widths, self.k, self.dtype)(pts)
+        h = _PointBackbone(self.widths, self.k, self.dtype, self.knn_stages)(pts)
         g = jnp.max(h, axis=1, keepdims=True)  # global context
         hg = jnp.concatenate([h, jnp.broadcast_to(g, h.shape[:-1] + (g.shape[-1],))], axis=-1)
         hg = nn.Dense(128, dtype=self.dtype)(hg)

@@ -1,24 +1,27 @@
 """Output-quality parity: the pipeline's predictions scored against the
-neuron world's construction ground truth (VERDICT r1 item 5).
+neuron world's construction ground truth (VERDICT r1 item 5; r2 items 2+7).
 
-Runs examples/start.py on a neuron-morphology world with
-``--predict_organelles`` so the organelle maps come from the packaged
-dense model (inference on raw, not copied GT), then scores:
+Runs examples/start.py on THREE held-out neuron worlds (seeds never used
+for training) with ``--predict_organelles`` so the organelle maps come from
+the packaged dense model (inference on raw, not copied GT), then scores,
+asserting on the MEAN across seeds and printing the per-seed spread:
 
 - synapse detection: recovered syn_ssv positions vs constructed synapses
 - celltype: per-cell accuracy vs celltype_gt (reference bar:
   BASELINE.json "voxel- and graph-level output parity")
 - compartments: skeleton-node axoness labels vs the compart volume
 - spiness/spinehead: head-labeled nodes and spinehead volumes on spine
-  synapses
+  synapses (must fire — no skip)
+- myelin: sheath recall at skeleton nodes + axon enrichment
+
+Scoring lives in ``syconn_tpu/utils/quality_metrics.py`` (shared with the
+training-iteration driver ``python -m syconn_tpu.cnn.eval_quality``).
 
 Skipped when the packaged pretrained weights (models/pretrained/) are not
 present — quality is only meaningful with trained models.
 """
 
 import os
-import subprocess
-import sys
 
 import numpy as np
 import pytest
@@ -38,196 +41,87 @@ pytestmark = [
 
 SHAPE = (160, 160, 80)
 N_CELLS = 8
-SEED = 777  # never used for training
+SEEDS = (777, 1901, 2718)  # never used for training (cnn/train_pretrained.py)
 
 
 @pytest.fixture(scope="module")
-def quality_wd(tmp_path_factory):
-    wd = str(tmp_path_factory.mktemp("quality") / "wd")
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["SYCONN_TPU_PLATFORM"] = "cpu"
-    env.pop("syconn_wd", None)
-    res = subprocess.run(
-        [sys.executable, os.path.join(REPO, "examples", "start.py"),
-         "--working_dir", wd,
-         "--shape", *[str(s) for s in SHAPE],
-         "--n_cells", str(N_CELLS),
-         "--seed", str(SEED),
-         "--world", "neuron",
-         "--predict_organelles",
-         "--overwrite"],
-        capture_output=True, text=True, timeout=3600, env=env, cwd=REPO,
+def quality_runs(tmp_path_factory):
+    """One pipeline-processed working dir per held-out seed, scored."""
+    from syconn_tpu.utils.quality_metrics import (
+        run_quality_pipeline,
+        score_all,
     )
-    assert res.returncode == 0, (
-        f"stdout:\n{res.stdout[-3000:]}\nstderr:\n{res.stderr[-5000:]}")
-    gt = np.load(os.path.join(wd, "neuron_gt.npz"))
 
-    from syconn_tpu import global_params
-    from syconn_tpu.handler.basics import clear_kd_cache
-
-    clear_kd_cache()
-    global_params.wd = wd
-    global_params.config._parse_config()
-    yield wd, gt
+    runs = {}
+    for seed in SEEDS:
+        wd = str(tmp_path_factory.mktemp(f"quality{seed}") / "wd")
+        run_quality_pipeline(wd, seed, shape=SHAPE, n_cells=N_CELLS)
+        gt = np.load(os.path.join(wd, "neuron_gt.npz"))
+        runs[seed] = score_all(wd, gt)
+    yield runs
 
 
-def _ssv_to_cell(ssv, gt):
-    """Majority construction-cell of an assembled cell's supervoxels."""
-    sv2cell = dict(zip(gt["sv_ids"].tolist(), gt["sv_cells"].tolist()))
-    cells = [sv2cell.get(int(s), -1) for s in ssv.sv_ids]
-    cells = [c for c in cells if c > 0]
-    if not cells:
-        return -1
-    vals, cnt = np.unique(cells, return_counts=True)
-    return int(vals[np.argmax(cnt)])
+def _mean(runs, group, key):
+    vals = {s: runs[s][group][key] for s in runs}
+    finite = [v for v in vals.values() if np.isfinite(v)]
+    print(f"{group}.{key} per seed: "
+          + ", ".join(f"{s}={v:.3f}" for s, v in vals.items()))
+    return float(np.mean(finite)) if finite else float("nan")
 
 
-def test_synapse_positions(quality_wd):
-    wd, gt = quality_wd
-    from syconn_tpu.reps.segmentation import SegmentationDataset
-
-    sd = SegmentationDataset("syn_ssv", working_dir=wd)
-    pred = sd.load_numpy_data("rep_coord").reshape(-1, 3).astype(np.float64)
-    gt_c = gt["syn_coords"]
-    assert len(gt_c) >= 5, "world built too few synapses for scoring"
-    assert len(pred) >= 1, "pipeline recovered no synapses"
-    # coverage matching within 15 voxels (aniso-weighted): syn_ssv
-    # agglomerates neighboring GT junctions of the same partner pair, so a
-    # single prediction may legitimately cover several GT entries
-    w = np.array([1.0, 1.0, 2.0])
-    d = np.linalg.norm((pred[:, None, :] - gt_c[None]) * w, axis=-1)
-    recall = float((d.min(axis=0) <= 15.0).mean())
-    precision = float((d.min(axis=1) <= 15.0).mean())
-    assert recall >= 0.6, f"synapse recall {recall:.2f} ({len(gt_c)} GT)"
-    assert precision >= 0.6, f"synapse precision {precision:.2f} ({len(pred)} predicted)"
+def test_synapse_positions(quality_runs):
+    for s, r in quality_runs.items():
+        assert r["synapses"]["n_gt"] >= 5, f"seed {s}: too few GT synapses"
+        assert r["synapses"]["n_pred"] >= 1, f"seed {s}: no synapses recovered"
+    recall = _mean(quality_runs, "synapses", "recall")
+    precision = _mean(quality_runs, "synapses", "precision")
+    assert recall >= 0.6, f"mean synapse recall {recall:.2f}"
+    assert precision >= 0.6, f"mean synapse precision {precision:.2f}"
 
 
-def test_celltype_accuracy(quality_wd):
-    """4-way celltype above chance with margin, and the glia-vs-neuron
-    distinction (the binary decision astrocyte separation depends on)
-    nearly perfect.
-
-    Measured with the packaged weights: 4-way 0.50 over 8 cells (chance
-    0.25), glia-vs-neuron 7/8. The 4-way ceiling on this toy world is
-    limited by per-cell Poisson noise in the organelle-density cues at
-    ~1000-point clouds; thresholds assert the demonstrated level."""
-    wd, gt = quality_wd
-    from syconn_tpu.reps.super_segmentation import SuperSegmentationDataset
-
-    ssd = SuperSegmentationDataset(working_dir=wd)
-    ct_gt = gt["celltype_gt"]
-    hits, tot, glia_ok = 0, 0, 0
-    for sid in ssd.ssv_ids:
-        ssv = ssd.get_super_segmentation_object(int(sid))
-        ssv.load_attr_dict()
-        guess = int(ssv.attr_dict.get("celltype_cnn_e3", -1))
-        cell = _ssv_to_cell(ssv, gt)
-        if cell <= 0:
-            continue
-        hits += int(guess == int(ct_gt[cell]))
-        glia_ok += int((guess == 3) == (int(ct_gt[cell]) == 3))
-        tot += 1
-    assert tot >= 3
-    acc = hits / tot
-    assert acc >= 0.375, f"celltype accuracy {acc:.2f} over {tot} cells"
-    assert glia_ok / tot >= 0.75, f"glia-vs-neuron {glia_ok}/{tot}"
+def test_celltype_accuracy(quality_runs):
+    """4-way celltype and the binary glia-vs-neuron decision (astrocyte
+    separation depends on it), averaged over 3 held-out worlds (~24
+    cells)."""
+    for s, r in quality_runs.items():
+        assert r["celltype"]["n_cells"] >= 3, f"seed {s}: too few scored cells"
+    acc = _mean(quality_runs, "celltype", "acc")
+    glia = _mean(quality_runs, "celltype", "glia_acc")
+    assert acc >= 0.75, f"mean celltype accuracy {acc:.2f}"
+    assert glia >= 0.85, f"mean glia-vs-neuron accuracy {glia:.2f}"
 
 
-def test_compartment_labels(quality_wd):
-    wd, gt = quality_wd
-    from syconn_tpu.reps.super_segmentation import SuperSegmentationDataset
-
-    ssd = SuperSegmentationDataset(working_dir=wd)
-    comp_vol = gt["compart"]
-    correct, n = 0, 0
-    for sid in ssd.ssv_ids:
-        ssv = ssd.get_super_segmentation_object(int(sid))
-        if not ssv.load_skeleton() or "axoness" not in ssv.skeleton:
-            continue
-        sk = ssv.skeleton
-        nodes = np.round(np.asarray(sk["nodes"], np.float64)).astype(int)
-        nodes = np.clip(nodes, 0, np.asarray(SHAPE) - 1)
-        lab_gt = comp_vol[nodes[:, 0], nodes[:, 1], nodes[:, 2]]
-        # downstream consumers read the window-averaged key (reference:
-        # average_node_axoness_views); score what they consume
-        key = "axoness_avg10000" if "axoness_avg10000" in sk else "axoness"
-        lab_pred = np.asarray(sk[key]).astype(int)
-        valid = lab_gt != 255
-        correct += int((lab_pred[valid] == lab_gt[valid]).sum())
-        n += int(valid.sum())
-    assert n >= 50, f"too few labeled skeleton nodes ({n})"
-    acc = correct / n
-    # measured 0.57 with the packaged weights (chance 1/3); asserts the
-    # demonstrated level with margin
-    assert acc >= 0.48, f"compartment node accuracy {acc:.2f} over {n} nodes"
+def test_compartment_labels(quality_runs):
+    for s, r in quality_runs.items():
+        assert r["compartments"]["n_nodes"] >= 50, (
+            f"seed {s}: too few labeled skeleton nodes")
+    acc = _mean(quality_runs, "compartments", "acc")
+    assert acc >= 0.70, f"mean compartment node accuracy {acc:.2f} (chance 1/3)"
 
 
-def test_spinehead_volumes(quality_wd):
-    wd, gt = quality_wd
-    from syconn_tpu.reps.segmentation import SegmentationDataset
-
-    if not gt["syn_on_spine"].any():
-        pytest.skip("world built no spine synapses")
-    sd = SegmentationDataset("syn_ssv", working_dir=wd)
-    cached = sd.load_numpy_data("spinehead_vol")
-    vols = [float(v) for v in np.atleast_1d(cached).ravel()
-            if np.isfinite(v) and v > 0] if cached is not None else []
-    if not vols:
-        # the volume pipeline only triggers for synapses whose coords the
-        # spiness model labels head-on-dendrite; the toy spiness model's
-        # head recall varies across training runs. The spinehead watershed
-        # algorithm itself is deterministically golden-tested in
-        # tests/test_spinehead.py against a constructed spine scene.
-        pytest.skip("spiness model labeled no head synapses in this fixture")
-    # sanity on magnitude: within 30x of the GT head volumes. The pipeline
-    # stores µm³ (super_segmentation_helper.extract_spinehead_volume);
-    # GT records head volumes in voxels.
-    scale = np.array([10.0, 10.0, 20.0])
-    gt_vols_um3 = (gt["syn_head_vol"][gt["syn_on_spine"]]
-                   * float(np.prod(scale)) / 1e9)
-    if len(gt_vols_um3):
-        ref = float(np.median(gt_vols_um3))
-        med = float(np.median(vols))
-        assert ref / 30 < med < ref * 30, (med, ref)
+def test_spinehead_volumes(quality_runs):
+    """The spinehead-volume pipeline must FIRE on spine synapses (no skip:
+    VERDICT r2 weak #3) and land within 30x of the GT head volumes in
+    µm³ (the pipeline stores µm³; GT records voxels)."""
+    with_spines = [s for s, r in quality_runs.items()
+                   if r["spinehead"]["n_spine_gt"] > 0]
+    assert with_spines, "no held-out world built spine synapses"
+    fired = [s for s in with_spines if quality_runs[s]["spinehead"]["n_vols"] > 0]
+    print("spinehead fired on seeds:", fired, "of", with_spines)
+    # the spiness model must label head synapses in most worlds
+    assert len(fired) * 2 >= len(with_spines), (
+        f"spinehead volumes only on {fired} of {with_spines}")
+    for s in fired:
+        ratio = quality_runs[s]["spinehead"]["med_ratio"]
+        assert 1 / 30 < ratio < 30, f"seed {s}: med pred/GT ratio {ratio:.2f}"
 
 
-def test_myelin_on_axons(quality_wd):
-    wd, gt = quality_wd
-    from syconn_tpu.reps.super_segmentation import SuperSegmentationDataset
-
-    if not (gt["myelin"] > 0).any():
-        pytest.skip("world built no myelin")
-    from scipy import ndimage as ndi
-
-    ssd = SuperSegmentationDataset(working_dir=wd)
-    comp_vol = gt["compart"]
-    near_my = ndi.binary_dilation(gt["myelin"] > 0, iterations=3)
-    my_pred_on_gt, gt_my_nodes = 0, 0
-    my_frac_axon, ax_nodes, my_frac_dend, de_nodes = 0, 0, 0, 0
-    for sid in ssd.ssv_ids:
-        ssv = ssd.get_super_segmentation_object(int(sid))
-        if not ssv.load_skeleton() or "myelin" not in ssv.skeleton:
-            continue
-        sk = ssv.skeleton
-        nodes = np.round(np.asarray(sk["nodes"], np.float64)).astype(int)
-        nodes = np.clip(nodes, 0, np.asarray(SHAPE) - 1)
-        key = "myelin_avg10000" if "myelin_avg10000" in sk else "myelin"
-        my = np.asarray(sk[key]).astype(float) > 0
-        lab_gt = comp_vol[nodes[:, 0], nodes[:, 1], nodes[:, 2]]
-        on_gt_my = near_my[nodes[:, 0], nodes[:, 1], nodes[:, 2]]
-        gt_my_nodes += int(on_gt_my.sum())
-        my_pred_on_gt += int((my & on_gt_my).sum())
-        ax = lab_gt == 1
-        de = lab_gt == 0
-        ax_nodes += int(ax.sum())
-        de_nodes += int(de.sum())
-        my_frac_axon += int((my & ax).sum())
-        my_frac_dend += int((my & de).sum())
-    if gt_my_nodes == 0:
-        pytest.skip("no skeleton nodes on GT myelin")
-    # recall: nodes sitting on GT myelin sheaths are flagged myelin
-    assert my_pred_on_gt / gt_my_nodes >= 0.5, (my_pred_on_gt, gt_my_nodes)
-    # enrichment: axon nodes carry myelin flags more often than dendrites
-    if ax_nodes and de_nodes:
-        assert my_frac_axon / ax_nodes >= my_frac_dend / de_nodes
+def test_myelin_on_axons(quality_runs):
+    with_my = [s for s, r in quality_runs.items()
+               if np.isfinite(r["myelin"]["recall"])]
+    assert with_my, "no held-out world built myelin"
+    recall = _mean({s: quality_runs[s] for s in with_my}, "myelin", "recall")
+    assert recall >= 0.5, f"mean myelin node recall {recall:.2f}"
+    ax = _mean({s: quality_runs[s] for s in with_my}, "myelin", "axon_rate")
+    de = _mean({s: quality_runs[s] for s in with_my}, "myelin", "dend_rate")
+    assert ax >= de, f"myelin not axon-enriched (axon {ax:.3f} vs dend {de:.3f})"
