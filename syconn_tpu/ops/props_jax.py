@@ -159,7 +159,7 @@ def pair_counts_device(a: jnp.ndarray, b: jnp.ndarray, max_pairs: int):
 
     Returns (a_ids, b_ids, counts) padded to ``max_pairs``.
     """
-    af = a.reshape(-1).astype(jnp.int64) if False else a.reshape(-1)
+    af = a.reshape(-1)
     bf = b.reshape(-1)
     valid = (af != 0) & (bf != 0)
     # pack pair into float-sortable key: a * 2^31 would overflow int32 ->
