@@ -80,15 +80,17 @@ def main():
     organelles = [o.strip() for o in args.organelles.split(",") if o.strip()]
     assert set(organelles) <= {"mi", "vc", "er", "golgi"}, organelles
 
-    # a wedged device relay hangs the first in-process jax call forever;
-    # probe in a subprocess and fall back to the CPU backend so the
-    # pipeline degrades instead of deadlocking (utils/linkprobe.py)
-    if not os.environ.get("SYCONN_TPU_PLATFORM"):
-        from syconn_tpu.utils.linkprobe import backend_alive
+    # a wedged device relay hangs the first in-process jax call forever,
+    # and a relay whose DOWNLINK wedges mid-transfer (observed 0.1 MB/s
+    # with a live control plane) would block the first step that reads
+    # predictions back. Probe both in a subprocess with hard deadlines and
+    # pin the whole run to the CPU backend when the device cannot deliver
+    # results (utils/linkprobe.py, utils/jaxcfg.gate_platform_on_link).
+    from syconn_tpu.utils.jaxcfg import gate_platform_on_link
 
-        if not backend_alive():
-            print("WARNING: accelerator backend unreachable - forcing CPU")
-            os.environ["SYCONN_TPU_PLATFORM"] = "cpu"
+    _pre_forced = os.environ.get("SYCONN_TPU_PLATFORM")
+    if gate_platform_on_link() == "cpu" and not _pre_forced:
+        print("WARNING: accelerator link down or unusable - forcing CPU")
     wd = args.working_dir or os.path.expanduser("~/syconn_tpu_example/")
     scale = np.array([10, 10, 20])
     chunk_size = tuple(int(c) for c in args.chunk_size)

@@ -72,6 +72,48 @@ def _enable_cache():
         pass
 
 
+def gate_platform_on_link(min_downlink_mbps: float = 2.0) -> str:
+    """Pin the process to the CPU backend when the ambient accelerator's
+    DOWNLINK cannot carry results (tunneled relay attachments have been
+    observed to wedge mid-transfer at <0.2 MB/s with a live control plane —
+    any step that reads predictions back would block forever).
+
+    Call BEFORE the first jax use of the process (pipeline launchers do).
+    Probes in a subprocess with hard deadlines; respects an explicit
+    SYCONN_TPU_PLATFORM. Returns the platform the process will use."""
+    import logging
+    import sys
+
+    log = logging.getLogger("syconn_tpu.jaxcfg")
+    forced = os.environ.get("SYCONN_TPU_PLATFORM")
+    if forced:
+        return forced
+    ambient = os.environ.get("JAX_PLATFORMS", "")
+    if ambient.strip().lower() in ("", "cpu"):
+        return ambient or "default"
+    jax_mod = sys.modules.get("jax")
+    if jax_mod is not None:
+        try:
+            if jax_mod._src.xla_bridge._backends:
+                # backend already live in-process: too late to repin, and a
+                # child probe would contend for the exclusive device
+                return ambient
+        except Exception:
+            pass
+    from .linkprobe import probe_link_subprocess
+
+    up, down = probe_link_subprocess()
+    if down < min_downlink_mbps:
+        log.warning(
+            "accelerator downlink %.2f MB/s (< %.1f) — pinning this process "
+            "to the CPU backend so no step can wedge on device readback",
+            down, min_downlink_mbps)
+        os.environ["SYCONN_TPU_PLATFORM"] = "cpu"
+        return "cpu"
+    log.info("accelerator link ok: up %.1f MB/s, down %.1f MB/s", up, down)
+    return ambient
+
+
 def device_is_accelerator() -> bool:
     """True when the default JAX backend is a real accelerator (the voxel
     kernels then dispatch to their device implementations)."""

@@ -143,3 +143,67 @@ def link_throughput_mbps(size_mb: int = 8, refresh: bool = False) -> Tuple[float
 
 def downlink_mbps(**kw) -> float:
     return link_throughput_mbps(**kw)[1]
+
+
+def _probe_main():  # pragma: no cover - exercised via subprocess
+    """Child-process entry: measure (up, down) MB/s to the ambient default
+    device with per-leg deadlines and print one JSON line. Run in a
+    subprocess so a wedged relay can neither hang nor claim the parent's
+    backend slot."""
+    import json
+
+    import jax
+
+    ok, _ = run_with_deadline(lambda: jax.devices(), 60.0)
+    if not ok:
+        print(json.dumps([0.0, 0.0]))
+        return
+    if jax.default_backend() == "cpu":
+        print(json.dumps([float("inf"), float("inf")]))
+        return
+    x = np.zeros(8 << 20, np.uint8)
+
+    def _up():
+        t0 = time.perf_counter()
+        xd = jax.device_put(x)
+        xd.block_until_ready()
+        return 8.0 / max(time.perf_counter() - t0, 1e-9), xd
+
+    ok, r = run_with_deadline(_up, 60.0)
+    if not ok:
+        print(json.dumps([0.0, 0.0]))
+        return
+    up, xd = r
+
+    def _down():
+        t0 = time.perf_counter()
+        np.asarray(xd)
+        return 8.0 / max(time.perf_counter() - t0, 1e-9)
+
+    ok, down = run_with_deadline(_down, 45.0)
+    print(json.dumps([up, down if ok else 0.0]))
+
+
+def probe_link_subprocess(timeout_s: float = 240.0) -> Tuple[float, float]:
+    """(up, down) MB/s to the AMBIENT accelerator, measured in a child
+    process. Safe to call before this process initializes its own backend
+    (and meaningless after — the child would contend for the device).
+    Returns (0, 0) when the child hangs or fails; (inf, inf) on CPU."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("SYCONN_TPU_PLATFORM", None)
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c",
+             "from syconn_tpu.utils.linkprobe import _probe_main; _probe_main()"],
+            timeout=timeout_s, env=env, capture_output=True, text=True,
+        )
+        line = res.stdout.strip().splitlines()[-1]
+        up, down = json.loads(line)
+        return float(up), float(down)
+    except Exception:
+        return 0.0, 0.0
