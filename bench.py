@@ -68,8 +68,13 @@ def _tile_flops(pred, params, x) -> float | None:
         return None
 
 
-def _split_timings(pred, x, reps: int = 5):
-    """Median upload / compute / readback seconds for one tile batch."""
+def _split_timings(pred, x, reps: int = 5, measure_read: bool = True):
+    """Median upload / compute / readback seconds for one tile batch.
+
+    ``measure_read=False`` skips the d2h leg — on a wedged relay downlink
+    (observed 0.1 MB/s) a single tile readback takes minutes, and upload +
+    compute are still measurable (uplink and control plane independent).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -82,12 +87,51 @@ def _split_timings(pred, x, reps: int = 5):
         out = pred._fwd(pred._params, xd)
         jax.block_until_ready(out)
         t2 = time.perf_counter()
-        _ = np.asarray(out)
+        if measure_read:
+            _ = np.asarray(out)
         t3 = time.perf_counter()
         ups.append(t1 - t0)
         comps.append(t2 - t1)
         reads.append(t3 - t2)
-    return float(np.median(ups)), float(np.median(comps)), float(np.median(reads))
+    return (
+        float(np.median(ups)),
+        float(np.median(comps)),
+        float(np.median(reads)) if measure_read else None,
+    )
+
+
+def _probe_link():
+    """(up MB/s, down MB/s) to the default device, each leg under its own
+    hard deadline. 0.0 for a leg that hangs — the relay link has been
+    observed to wedge mid-transfer with a live control plane, and the whole
+    benchmark must stay bounded so the driver always gets its JSON line."""
+    import jax
+
+    from syconn_tpu.utils.linkprobe import run_with_deadline
+
+    ok, _ = run_with_deadline(lambda: jax.devices(), 60.0)
+    if not ok:
+        return 0.0, 0.0
+    x = np.zeros(8 << 20, np.uint8)
+
+    def _up():
+        t0 = time.perf_counter()
+        xd = jax.device_put(x)
+        xd.block_until_ready()
+        return 8.0 / max(time.perf_counter() - t0, 1e-9), xd
+
+    ok, r = run_with_deadline(_up, 60.0)
+    if not ok:
+        return 0.0, 0.0
+    up, xd = r
+
+    def _down():
+        t0 = time.perf_counter()
+        np.asarray(xd)
+        return 8.0 / max(time.perf_counter() - t0, 1e-9)
+
+    ok, down = run_with_deadline(_down, 45.0)
+    return up, (down if ok else 0.0)
 
 
 def main():
@@ -119,6 +163,32 @@ def main():
     # the big tile would materialize the depth-to-space transpose)
     params = init_model_params(model, (1, 64, 64, 32, 1))
 
+    # -------------------------------------------------------- link triage
+    # the tunneled relay link wedges (observed: d2h at 0.1 MB/s with a live
+    # control plane). Every leg of the benchmark that touches the downlink
+    # is gated on a measured probe so this script ALWAYS prints its JSON
+    # line in bounded time; the HBM-resident measurement needs no downlink.
+    from syconn_tpu.utils.linkprobe import run_with_deadline
+
+    on_tpu = jax.default_backend() != "cpu"
+    link_up, link_down = (float("inf"), float("inf"))
+    if on_tpu:
+        link_up, link_down = _probe_link()
+    if on_tpu and link_up < 2.0:
+        print(json.dumps({
+            "metric": "dense_3d_semseg_mvox_per_s_per_chip",
+            "value": 0.0,
+            "unit": "Mvox/s",
+            "vs_baseline": 0.0,
+            "detail": {
+                "error": "device link down (uplink unusable)",
+                "link_up_mbps": round(link_up, 2),
+                "link_down_mbps": round(link_down, 2),
+            },
+        }))
+        return
+    stream_ok = (not on_tpu) or link_down >= 2.0
+
     # ------------------------------------------------------------- warm-up
     # the SAME predictor instance is reused by the timed run, so compilation
     # and the first-dispatch overheads stay out of the measurement
@@ -129,41 +199,71 @@ def main():
         thresholds=(0.5, 0.4286, 0.2857, 0.1905), batch_size=1,
     )
     warm = np.zeros((1,) + tuple(np.add(tile, np.multiply(2, halo))), np.uint8)
-    pred.predict_tiles(warm)  # compile
 
-    flops_tile = _tile_flops(pred, pred._params, warm)
-    up_s, comp_s, read_s = _split_timings(pred, warm)
+    if stream_ok:
+        pred.predict_tiles(warm)  # compile
+        flops_tile = _tile_flops(pred, pred._params, warm)
+        up_s, comp_s, read_s = _split_timings(pred, warm)
+    else:
+        def _warm_noread():
+            out = pred._fwd(pred._params, jnp.asarray(warm))
+            jax.block_until_ready(out)
+
+        ok, _ = run_with_deadline(_warm_noread, 600.0)
+        if not ok:
+            print(json.dumps({
+                "metric": "dense_3d_semseg_mvox_per_s_per_chip",
+                "value": 0.0,
+                "unit": "Mvox/s",
+                "vs_baseline": 0.0,
+                "detail": {
+                    "error": "device compute unreachable (compile/dispatch hung)",
+                    "link_up_mbps": round(link_up, 2),
+                    "link_down_mbps": round(link_down, 2),
+                },
+            }))
+            return
+        ok, ft = run_with_deadline(
+            lambda: _tile_flops(pred, pred._params, warm), 240.0)
+        flops_tile = ft if ok else None
+        ok, tr = run_with_deadline(
+            lambda: _split_timings(pred, warm, measure_read=False), 300.0)
+        up_s, comp_s, read_s = tr if ok else (None, None, None)
 
     # ---------------------------------------------------------------- run
     # mask mode: thresholding fused on device, 1 bit/voxel readback — the
     # format the extraction stage consumes. Three passes, median reported
     # (the tunneled TPU link's throughput fluctuates run to run).
     runs = []
-    for r in range(3):
-        stats = predict_dense_to_kd(
-            os.path.join(tmp, "src"),
-            target_paths={
-                "mi": os.path.join(tmp, f"mi{r}"),
-                "vc": os.path.join(tmp, f"vc{r}"),
-                "sj": os.path.join(tmp, f"sj{r}"),
-            },
-            model=model,
-            params=params,
-            channel_mapping={"mi": 1, "vc": 2, "sj": 3},
-            tile_shape=tile,
-            halo=halo,
-            target_mags=(1, 2),
-            show_progress=False,
-            mode="masks",
-            thresholds=(0.5, 0.4286, 0.2857, 0.1905),
-            predictor=pred,
-            pipeline_depth=4,
-        )
-        runs.append(stats)
-    rates = sorted(s["mvox_per_s"] for s in runs)
-    stream_mvox_s = float(np.median(rates))
-    spread = (rates[-1] - rates[0]) / 2.0
-    stats = min(runs, key=lambda s: abs(s["mvox_per_s"] - stream_mvox_s))
+    if stream_ok:
+        for r in range(3):
+            stats = predict_dense_to_kd(
+                os.path.join(tmp, "src"),
+                target_paths={
+                    "mi": os.path.join(tmp, f"mi{r}"),
+                    "vc": os.path.join(tmp, f"vc{r}"),
+                    "sj": os.path.join(tmp, f"sj{r}"),
+                },
+                model=model,
+                params=params,
+                channel_mapping={"mi": 1, "vc": 2, "sj": 3},
+                tile_shape=tile,
+                halo=halo,
+                target_mags=(1, 2),
+                show_progress=False,
+                mode="masks",
+                thresholds=(0.5, 0.4286, 0.2857, 0.1905),
+                predictor=pred,
+                pipeline_depth=4,
+            )
+            runs.append(stats)
+    if runs:
+        rates = sorted(s["mvox_per_s"] for s in runs)
+        stream_mvox_s = float(np.median(rates))
+        spread = (rates[-1] - rates[0]) / 2.0
+        stats = min(runs, key=lambda s: abs(s["mvox_per_s"] - stream_mvox_s))
+    else:
+        rates, stream_mvox_s, spread, stats = [], None, None, None
 
     # ------------------------------------------- HBM-resident measurement
     # the production path since round 3: the volume lives in device memory
@@ -173,30 +273,40 @@ def main():
     # volume, blocked to completion. The d2h drain (disk durability) is
     # timed separately — it overlaps the next step in the pipeline.
     res_rates, drain_s = [], None
-    if jax.default_backend() != "cpu":
+    if on_tpu:
         from syconn_tpu.inference.dense import ResidentDensePredictor
 
         rpred = ResidentDensePredictor(
             model, params, tile_shape=tile, halo=halo, mode="masks",
             thresholds=(0.5, 0.4286, 0.2857, 0.1905), batch_size=1,
         )
-        vol_dev = jax.device_put(jnp.asarray(vol))
-        vol_dev.block_until_ready()
-        packed_dev, grid_r = rpred.predict_volume_packed(vol_dev)  # compile
-        cls = rpred.class_volume_device(packed_dev, grid_r, 1, shape)
-        jax.block_until_ready((packed_dev, cls))
-        for _ in range(3):
-            t0 = time.perf_counter()
-            packed_dev, grid_r = rpred.predict_volume_packed(vol_dev)
-            cls = rpred.class_volume_device(packed_dev, grid_r, 1, shape)
-            jax.block_until_ready((packed_dev, cls))
-            t1 = time.perf_counter()
-            res_rates.append(float(np.prod(shape)) / (t1 - t0) / 1e6)
-            if drain_s is None:
-                _ = np.asarray(packed_dev)
-                drain_s = time.perf_counter() - t1
-        res_rates.sort()
-    mvox_s = float(np.median(res_rates)) if res_rates else stream_mvox_s
+
+        def _resident_warm():
+            vd = jax.device_put(jnp.asarray(vol))
+            vd.block_until_ready()
+            pk, gr = rpred.predict_volume_packed(vd)  # compile
+            c = rpred.class_volume_device(pk, gr, 1, shape)
+            jax.block_until_ready((pk, c))
+            return vd
+
+        ok, vol_dev = run_with_deadline(_resident_warm, 900.0)
+        if ok:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                packed_dev, grid_r = rpred.predict_volume_packed(vol_dev)
+                cls = rpred.class_volume_device(packed_dev, grid_r, 1, shape)
+                jax.block_until_ready((packed_dev, cls))
+                t1 = time.perf_counter()
+                res_rates.append(float(np.prod(shape)) / (t1 - t0) / 1e6)
+                if drain_s is None and stream_ok:
+                    # d2h drain (disk durability) — only timed when the
+                    # downlink is alive; it overlaps the next pipeline step
+                    okd, ds = run_with_deadline(
+                        lambda: np.asarray(packed_dev), 120.0)
+                    drain_s = (time.perf_counter() - t1) if okd else None
+            res_rates.sort()
+    mvox_s = (float(np.median(res_rates)) if res_rates
+              else (stream_mvox_s if stream_mvox_s else 0.0))
 
     # FLOPs accounting: each tile computes tile+2*halo voxels of conv work
     tile_in_vox = float(np.prod(np.add(tile, np.multiply(2, halo))))
@@ -220,22 +330,30 @@ def main():
             "resident_mvox_per_s": [round(r, 2) for r in res_rates],
             "resident_d2h_drain_s": round(drain_s, 2) if drain_s else None,
             "streaming_mvox_per_s": [round(r, 2) for r in rates],
-            "streaming_median_pm_spread": f"{stream_mvox_s:.2f} ± {spread:.2f}",
-            "volume_mvox": stats["n_voxels"] / 1e6,
-            "seconds": round(stats["seconds"], 2),
+            "streaming_median_pm_spread": (
+                f"{stream_mvox_s:.2f} ± {spread:.2f}"
+                if stream_mvox_s is not None else None),
+            "link_up_mbps": (round(link_up, 1)
+                             if np.isfinite(link_up) else None),
+            "link_down_mbps": (round(link_down, 1)
+                               if np.isfinite(link_down) else None),
+            "volume_mvox": (stats["n_voxels"] / 1e6 if stats
+                            else float(np.prod(shape)) / 1e6),
+            "seconds": round(stats["seconds"], 2) if stats else None,
             "device": str(dev),
             "flops_per_input_voxel": round(flops_per_in_vox, 1) if flops_per_in_vox else None,
             "achieved_tflops": round(achieved_tflops, 2) if achieved_tflops else None,
             "peak_bf16_tflops": peak,
             "mfu_pct": round(mfu, 2) if mfu else None,
             "tile_split_s": {
-                "upload": round(up_s, 3),
-                "compute": round(comp_s, 3),
-                "readback": round(read_s, 3),
+                "upload": round(up_s, 3) if up_s is not None else None,
+                "compute": round(comp_s, 3) if comp_s is not None else None,
+                "readback": round(read_s, 3) if read_s is not None else None,
             },
             # chip-limited rate (what a locally-attached v5e would sustain);
             # end-to-end is transfer-bound through the tunneled relay link
-            "compute_only_mvox_per_s": round(core_vox / comp_s / 1e6, 1),
+            "compute_only_mvox_per_s": (round(core_vox / comp_s / 1e6, 1)
+                                        if comp_s else None),
             "model": "UNet3D organelles patchified (4,4,2)->(64,128,256) 4-class, bf16, fused threshold+bitpack readback",
             "baseline": "reference myelin dense prediction 11.34 MVx / 62 s on 2 GPUs",
         },
