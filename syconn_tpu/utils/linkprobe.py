@@ -149,18 +149,30 @@ def _probe_main():  # pragma: no cover - exercised via subprocess
     """Child-process entry: measure (up, down) MB/s to the ambient default
     device with per-leg deadlines and print one JSON line. Run in a
     subprocess so a wedged relay can neither hang nor claim the parent's
-    backend slot."""
+    backend slot. Exits via os._exit: a deadline-abandoned transfer thread
+    must not crash normal interpreter teardown."""
     import json
+    import os
+    import sys
+
+    def _emit(up, down):
+        print(json.dumps([up, down]))
+        sys.stdout.flush()
+        os._exit(0)
 
     import jax
 
+    # test/tooling hook: the ambient sitecustomize re-pins JAX_PLATFORMS at
+    # interpreter start, so only an in-process config update can redirect
+    plat = os.environ.get("SYCONN_TPU_PROBE_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     ok, _ = run_with_deadline(lambda: jax.devices(), 60.0)
     if not ok:
-        print(json.dumps([0.0, 0.0]))
-        return
+        _emit(0.0, 0.0)
     if jax.default_backend() == "cpu":
-        print(json.dumps([float("inf"), float("inf")]))
-        return
+        _emit(float("inf"), float("inf"))
     x = np.zeros(8 << 20, np.uint8)
 
     def _up():
@@ -171,8 +183,7 @@ def _probe_main():  # pragma: no cover - exercised via subprocess
 
     ok, r = run_with_deadline(_up, 60.0)
     if not ok:
-        print(json.dumps([0.0, 0.0]))
-        return
+        _emit(0.0, 0.0)
     up, xd = r
 
     def _down():
@@ -181,7 +192,7 @@ def _probe_main():  # pragma: no cover - exercised via subprocess
         return 8.0 / max(time.perf_counter() - t0, 1e-9)
 
     ok, down = run_with_deadline(_down, 45.0)
-    print(json.dumps([up, down if ok else 0.0]))
+    _emit(up, down if ok else 0.0)
 
 
 def probe_link_subprocess(timeout_s: float = 240.0) -> Tuple[float, float]:
