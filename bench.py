@@ -2,22 +2,22 @@
 
 Runs the full dense-prediction path (the pipeline's compute core and
 BASELINE.json's metric "Mvox/s/chip chunked 3D semseg"): a synthetic EM
-volume stored as zstd chunks on disk is streamed tile-by-tile (with halo)
-through the 4-class organelle 3D U-Net on the attached TPU, and per-class
-probability maps are written back as chunked volumes — IO included, compile
-excluded (warm-up tile before timing).
+volume is pushed through the 4-class organelle 3D U-Net on the attached
+TPU. Headline is the HBM-resident rate (volume lives in device memory
+across pipeline steps, class outputs consumed in HBM — the production path
+since round 3); the streaming disk-to-disk rate is reported when the relay
+downlink can carry results.
 
 Baseline (BASELINE.md [2], docs/instructions.rst:94): the reference predicts
 the 0.726 GVx example cube's myelin map at mag 4 (= 11.34 MVx at output
-resolution) in 62 s on 2x Quadro RTX 5000 => 0.183 Mvox/s effective
-(0.091 Mvox/s per GPU). vs_baseline = ours / 0.183.
+resolution) in 62 s on 2x Quadro RTX 5000 => 0.183 Mvox/s effective.
 
-Reports (VERDICT r1 item 3): median-of-3 throughput with spread, model
-FLOPs/voxel (XLA cost analysis of the compiled forward), achieved TFLOP/s,
-MFU against the chip's peak bf16, and the upload/compute/readback split of
-one tile.
-
-Prints ONE JSON line.
+Crash-safety contract (VERDICT r3 #2): this script ALWAYS prints exactly one
+JSON line, ALWAYS mirrors it to ``bench_last.json``, and ALWAYS exits 0 —
+the device link is probed in a SUBPROCESS before any in-process backend
+init, every device call is deadline-wrapped, every failure is caught into
+the JSON detail, and the process hard-exits so deadline-abandoned transfer
+threads cannot abort C++ teardown (the rc-134 mechanism in BENCH_r03).
 """
 
 from __future__ import annotations
@@ -27,10 +27,12 @@ import os
 import sys
 import tempfile
 import time
+import traceback
 
 import numpy as np
 
 BASELINE_MVOX_S = 11.34e6 / 62.0 / 1e6  # reference dense-prediction step
+METRIC = "dense_3d_semseg_mvox_per_s_per_chip"
 
 # peak dense bf16 TFLOP/s per chip (public figures)
 PEAK_BF16_TFLOPS = {
@@ -40,6 +42,29 @@ PEAK_BF16_TFLOPS = {
     "v6e": 918.0,  # Trillium
     "v6p": 918.0,
 }
+
+
+def _emit(result: dict) -> None:
+    line = json.dumps(result)
+    print(line)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "bench_last.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    sys.stdout.flush()
+    sys.stderr.flush()
+
+
+def _fail(error: str, **detail) -> dict:
+    return {
+        "metric": METRIC,
+        "value": 0.0,
+        "unit": "Mvox/s",
+        "vs_baseline": 0.0,
+        "detail": dict(error=error, **detail),
+    }
 
 
 def _device_peak_tflops(dev) -> float | None:
@@ -69,12 +94,7 @@ def _tile_flops(pred, params, x) -> float | None:
 
 
 def _split_timings(pred, x, reps: int = 5, measure_read: bool = True):
-    """Median upload / compute / readback seconds for one tile batch.
-
-    ``measure_read=False`` skips the d2h leg — on a wedged relay downlink
-    (observed 0.1 MB/s) a single tile readback takes minutes, and upload +
-    compute are still measurable (uplink and control plane independent).
-    """
+    """Median upload / compute / readback seconds for one tile batch."""
     import jax
     import jax.numpy as jnp
 
@@ -100,50 +120,65 @@ def _split_timings(pred, x, reps: int = 5, measure_read: bool = True):
     )
 
 
-def _probe_link():
-    """(up MB/s, down MB/s) to the default device, each leg under its own
-    hard deadline. 0.0 for a leg that hangs — the relay link has been
-    observed to wedge mid-transfer with a live control plane, and the whole
-    benchmark must stay bounded so the driver always gets its JSON line."""
-    import jax
-
-    from syconn_tpu.utils.linkprobe import run_with_deadline
-
-    ok, _ = run_with_deadline(lambda: jax.devices(), 60.0)
-    if not ok:
-        return 0.0, 0.0
-    x = np.zeros(8 << 20, np.uint8)
-
-    def _up():
-        t0 = time.perf_counter()
-        xd = jax.device_put(x)
-        xd.block_until_ready()
-        return 8.0 / max(time.perf_counter() - t0, 1e-9), xd
-
-    ok, r = run_with_deadline(_up, 60.0)
-    if not ok:
-        return 0.0, 0.0
-    up, xd = r
-
-    def _down():
-        t0 = time.perf_counter()
-        np.asarray(xd)
-        return 8.0 / max(time.perf_counter() - t0, 1e-9)
-
-    ok, down = run_with_deadline(_down, 45.0)
-    return up, (down if ok else 0.0)
-
-
-def main():
+def _run() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from syconn_tpu.utils import linkcfg
+    from syconn_tpu.utils.linkprobe import probe_link_subprocess, run_with_deadline
+
+    # -------------------------------------------------------- link triage
+    # Probe the relay link in a SUBPROCESS before this process initializes
+    # any backend: a wedged downlink means block_until_ready never returns
+    # for ANY device work (observed: not even a computed scalar comes back),
+    # so there is nothing to measure and nothing worth attaching to.
+    # a placeholder artifact first: even an externally-killed run leaves a
+    # record (overwritten by the real emit on every normal path)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "bench_last.json"), "w") as f:
+            f.write(json.dumps(_fail("benchmark did not complete "
+                                     "(killed during link probe or run)")) + "\n")
+    except OSError:
+        pass
+    forced = os.environ.get("SYCONN_TPU_PLATFORM", "")
+    ambient = os.environ.get("JAX_PLATFORMS", "")
+    on_tpu = (forced or ambient).strip().lower() not in ("cpu",) and (
+        forced or ambient) != ""
+    link_up, link_down = (float("inf"), float("inf"))
+    if not (forced or ambient):
+        # unset ambient: the probe child resolves the real default backend
+        link_up, link_down = probe_link_subprocess(timeout_s=180.0)
+        on_tpu = link_up != float("inf")
+    elif on_tpu:
+        link_up, link_down = probe_link_subprocess(timeout_s=180.0)
+        if link_down <= 0.0:
+            # transient wedge? one retry before declaring the link dead
+            time.sleep(5.0)
+            link_up, link_down = probe_link_subprocess(timeout_s=180.0)
+    min_down = linkcfg.get("min_downlink_mbps")
+    if on_tpu and link_up < 2.0:
+        return _fail("device link down (uplink unusable)",
+                     link_up_mbps=round(link_up, 2),
+                     link_down_mbps=round(link_down, 2))
+    if on_tpu and link_down <= 0.0:
+        return _fail(
+            "device downlink wedged: uploads land but no result of any size "
+            "returns (block_until_ready cannot complete) — no device "
+            "measurement is possible this session",
+            link_up_mbps=round(link_up, 2),
+            link_down_mbps=0.0)
+    stream_ok = (not on_tpu) or link_down >= min_down
+
+    # ---------------------------------------------------------------- setup
     import jax
     import jax.numpy as jnp
 
-    from syconn_tpu.inference.dense import predict_dense_to_kd
+    from syconn_tpu.inference.dense import (DenseTilePredictor,
+                                            ResidentDensePredictor,
+                                            predict_dense_to_kd)
+    from syconn_tpu.io.chunked import ChunkedVolume
     from syconn_tpu.models.io import init_model_params
     from syconn_tpu.models.unet3d import UNet3D, unet_variants
 
-    # ---------------------------------------------------------------- setup
     shape = (768, 768, 384)  # 226 MVx synthetic volume
     tile = (384, 384, 192)
     halo = (32, 32, 16)
@@ -151,8 +186,6 @@ def main():
     vol = rng.integers(0, 255, shape, dtype=np.uint8)
 
     tmp = tempfile.mkdtemp(prefix="syconn_bench_")
-    from syconn_tpu.io.chunked import ChunkedVolume
-
     src = ChunkedVolume.create(
         os.path.join(tmp, "src"), scale=(10, 10, 20), boundary=shape, chunk_shape=tile
     )
@@ -162,78 +195,92 @@ def main():
     # init at a small shape (params are shape-agnostic; full-res tracing of
     # the big tile would materialize the depth-to-space transpose)
     params = init_model_params(model, (1, 64, 64, 32, 1))
+    thresholds = (0.5, 0.4286, 0.2857, 0.1905)
 
-    # -------------------------------------------------------- link triage
-    # the tunneled relay link wedges (observed: d2h at 0.1 MB/s with a live
-    # control plane). Every leg of the benchmark that touches the downlink
-    # is gated on a measured probe so this script ALWAYS prints its JSON
-    # line in bounded time; the HBM-resident measurement needs no downlink.
-    from syconn_tpu.utils.linkprobe import run_with_deadline
-
-    on_tpu = jax.default_backend() != "cpu"
-    link_up, link_down = (float("inf"), float("inf"))
+    # ------------------------------------------- HBM-resident measurement
+    # The production path since round 3: the volume lives in device memory
+    # across pipeline steps (io/resident.py); tiles are sliced in HBM and
+    # downstream consumers read the class outputs in HBM. Measured FIRST
+    # and independently of the streaming path's health (VERDICT r3 #2c).
+    res_rates: list[float] = []
+    packed_dev = None
+    rpred = None
     if on_tpu:
-        link_up, link_down = _probe_link()
-    if on_tpu and link_up < 2.0:
-        print(json.dumps({
-            "metric": "dense_3d_semseg_mvox_per_s_per_chip",
-            "value": 0.0,
-            "unit": "Mvox/s",
-            "vs_baseline": 0.0,
-            "detail": {
-                "error": "device link down (uplink unusable)",
-                "link_up_mbps": round(link_up, 2),
-                "link_down_mbps": round(link_down, 2),
-            },
-        }))
-        return
-    stream_ok = (not on_tpu) or link_down >= 2.0
+        rpred = ResidentDensePredictor(
+            model, params, tile_shape=tile, halo=halo, mode="masks",
+            thresholds=thresholds, batch_size=1,
+        )
+
+        def _resident_warm():
+            vd = jax.device_put(jnp.asarray(vol))
+            vd.block_until_ready()
+            pk, gr = rpred.predict_volume_packed(vd)  # compile
+            c = rpred.class_volume_device(pk, gr, 1, shape)
+            jax.block_until_ready((pk, c))
+            return vd
+
+        ok, vol_dev = run_with_deadline(_resident_warm, 900.0)
+        if not ok:
+            return _fail("device compute unreachable (compile/dispatch hung)",
+                         link_up_mbps=round(link_up, 2),
+                         link_down_mbps=round(link_down, 2))
+        for _ in range(3):
+            t0 = time.perf_counter()
+            packed_dev, grid_r = rpred.predict_volume_packed(vol_dev)
+            cls = rpred.class_volume_device(packed_dev, grid_r, 1, shape)
+            okb, _ = run_with_deadline(
+                lambda: jax.block_until_ready((packed_dev, cls)), 600.0)
+            if not okb:
+                break  # mid-run wedge: keep whatever iterations completed
+            res_rates.append(float(np.prod(shape)) / (time.perf_counter() - t0) / 1e6)
+        res_rates.sort()
+
+    # d2h drain (disk durability) — timed ONCE, after the last timed
+    # iteration so abandoned readback threads cannot skew resident rates;
+    # it overlaps the next step in the real pipeline
+    drain_s = None
+    if packed_dev is not None and stream_ok and res_rates:
+        t0 = time.perf_counter()
+        okd, _ = run_with_deadline(lambda: np.asarray(packed_dev), 120.0)
+        drain_s = (time.perf_counter() - t0) if okd else None
 
     # ------------------------------------------------------------- warm-up
-    # the SAME predictor instance is reused by the timed run, so compilation
-    # and the first-dispatch overheads stay out of the measurement
-    from syconn_tpu.inference.dense import DenseTilePredictor
-
+    # the SAME predictor instance is reused by the timed streaming run, so
+    # compilation and first-dispatch overheads stay out of the measurement
     pred = DenseTilePredictor(
         model, params, tile_shape=tile, halo=halo, mode="masks",
-        thresholds=(0.5, 0.4286, 0.2857, 0.1905), batch_size=1,
+        thresholds=thresholds, batch_size=1,
     )
     warm = np.zeros((1,) + tuple(np.add(tile, np.multiply(2, halo))), np.uint8)
 
+    flops_tile, up_s, comp_s, read_s = None, None, None, None
     if stream_ok:
-        pred.predict_tiles(warm)  # compile
-        flops_tile = _tile_flops(pred, pred._params, warm)
-        up_s, comp_s, read_s = _split_timings(pred, warm)
+        ok, _ = run_with_deadline(lambda: pred.predict_tiles(warm), 900.0)
+        if ok:
+            flops_tile = _tile_flops(pred, pred._params, warm)
+            okt, tr = run_with_deadline(lambda: _split_timings(pred, warm), 600.0)
+            if okt:
+                up_s, comp_s, read_s = tr
+            else:
+                stream_ok = False
     else:
         def _warm_noread():
             out = pred._fwd(pred._params, jnp.asarray(warm))
             jax.block_until_ready(out)
 
         ok, _ = run_with_deadline(_warm_noread, 600.0)
-        if not ok:
-            print(json.dumps({
-                "metric": "dense_3d_semseg_mvox_per_s_per_chip",
-                "value": 0.0,
-                "unit": "Mvox/s",
-                "vs_baseline": 0.0,
-                "detail": {
-                    "error": "device compute unreachable (compile/dispatch hung)",
-                    "link_up_mbps": round(link_up, 2),
-                    "link_down_mbps": round(link_down, 2),
-                },
-            }))
-            return
-        ok, ft = run_with_deadline(
-            lambda: _tile_flops(pred, pred._params, warm), 240.0)
-        flops_tile = ft if ok else None
-        ok, tr = run_with_deadline(
-            lambda: _split_timings(pred, warm, measure_read=False), 300.0)
-        up_s, comp_s, read_s = tr if ok else (None, None, None)
+        if ok:
+            okf, ft = run_with_deadline(
+                lambda: _tile_flops(pred, pred._params, warm), 240.0)
+            flops_tile = ft if okf else None
+            okt, tr = run_with_deadline(
+                lambda: _split_timings(pred, warm, measure_read=False), 300.0)
+            if okt:
+                up_s, comp_s, read_s = tr
 
     # ---------------------------------------------------------------- run
-    # mask mode: thresholding fused on device, 1 bit/voxel readback — the
-    # format the extraction stage consumes. Three passes, median reported
-    # (the tunneled TPU link's throughput fluctuates run to run).
+    # streaming mode: disk -> device -> disk, thresholding fused on device,
+    # 1 bit/voxel readback. Three passes, median reported.
     runs = []
     if stream_ok:
         for r in range(3):
@@ -252,7 +299,7 @@ def main():
                 target_mags=(1, 2),
                 show_progress=False,
                 mode="masks",
-                thresholds=(0.5, 0.4286, 0.2857, 0.1905),
+                thresholds=thresholds,
                 predictor=pred,
                 pipeline_depth=4,
             )
@@ -265,46 +312,6 @@ def main():
     else:
         rates, stream_mvox_s, spread, stats = [], None, None, None
 
-    # ------------------------------------------- HBM-resident measurement
-    # the production path since round 3: the volume lives in device memory
-    # across pipeline steps (io/resident.py); tiles are sliced in HBM and
-    # downstream consumers read the class outputs in HBM. Timed: full
-    # volume -> packed tile predictions + one device-assembled class
-    # volume, blocked to completion. The d2h drain (disk durability) is
-    # timed separately — it overlaps the next step in the pipeline.
-    res_rates, drain_s = [], None
-    if on_tpu:
-        from syconn_tpu.inference.dense import ResidentDensePredictor
-
-        rpred = ResidentDensePredictor(
-            model, params, tile_shape=tile, halo=halo, mode="masks",
-            thresholds=(0.5, 0.4286, 0.2857, 0.1905), batch_size=1,
-        )
-
-        def _resident_warm():
-            vd = jax.device_put(jnp.asarray(vol))
-            vd.block_until_ready()
-            pk, gr = rpred.predict_volume_packed(vd)  # compile
-            c = rpred.class_volume_device(pk, gr, 1, shape)
-            jax.block_until_ready((pk, c))
-            return vd
-
-        ok, vol_dev = run_with_deadline(_resident_warm, 900.0)
-        if ok:
-            for _ in range(3):
-                t0 = time.perf_counter()
-                packed_dev, grid_r = rpred.predict_volume_packed(vol_dev)
-                cls = rpred.class_volume_device(packed_dev, grid_r, 1, shape)
-                jax.block_until_ready((packed_dev, cls))
-                t1 = time.perf_counter()
-                res_rates.append(float(np.prod(shape)) / (t1 - t0) / 1e6)
-                if drain_s is None and stream_ok:
-                    # d2h drain (disk durability) — only timed when the
-                    # downlink is alive; it overlaps the next pipeline step
-                    okd, ds = run_with_deadline(
-                        lambda: np.asarray(packed_dev), 120.0)
-                    drain_s = (time.perf_counter() - t1) if okd else None
-            res_rates.sort()
     mvox_s = (float(np.median(res_rates)) if res_rates
               else (stream_mvox_s if stream_mvox_s else 0.0))
 
@@ -321,8 +328,8 @@ def main():
     peak = _device_peak_tflops(dev)
     mfu = (achieved_tflops / peak * 100.0) if (achieved_tflops and peak) else None
 
-    result = {
-        "metric": "dense_3d_semseg_mvox_per_s_per_chip",
+    return {
+        "metric": METRIC,
         "value": round(mvox_s, 2),
         "unit": "Mvox/s",
         "vs_baseline": round(mvox_s / BASELINE_MVOX_S, 1),
@@ -358,8 +365,20 @@ def main():
             "baseline": "reference myelin dense prediction 11.34 MVx / 62 s on 2 GPUs",
         },
     }
-    print(json.dumps(result))
+
+
+def main():
+    try:
+        result = _run()
+    except BaseException as e:  # noqa: BLE001 - the JSON line must always print
+        tb = traceback.format_exc().strip().splitlines()
+        result = _fail(f"benchmark raised: {e!r}", traceback_tail=tb[-4:])
+    _emit(result)
 
 
 if __name__ == "__main__":
     main()
+    # hard exit: deadline-abandoned device-transfer threads must not run
+    # interpreter/C++ teardown (BENCH_r03: "FATAL: exception not rethrown",
+    # SIGABRT rc 134). Everything durable is already flushed by _emit().
+    os._exit(0)

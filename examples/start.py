@@ -88,8 +88,8 @@ def main():
     # results (utils/linkprobe.py, utils/jaxcfg.gate_platform_on_link).
     from syconn_tpu.utils.jaxcfg import gate_platform_on_link
 
-    _pre_forced = os.environ.get("SYCONN_TPU_PLATFORM")
-    if gate_platform_on_link() == "cpu" and not _pre_forced:
+    _plat, _pinned = gate_platform_on_link(return_pinned=True)
+    if _pinned:
         print("WARNING: accelerator link down or unusable - forcing CPU")
     wd = args.working_dir or os.path.expanduser("~/syconn_tpu_example/")
     scale = np.array([10, 10, 20])

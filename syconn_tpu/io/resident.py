@@ -159,11 +159,13 @@ def put(path: str, channel: str, arr, mag: int = 1) -> bool:
         # uploading a host array only pays if the uplink can carry it; on
         # a degraded relay (measured 0.07-430 MB/s between sessions) the
         # caller keeps its disk path instead
-        if nbytes > 64 * (1 << 20):
+        from ..utils import linkcfg
+
+        if nbytes > linkcfg.get("resident_upload_probe_mb") * (1 << 20):
             from ..utils.linkprobe import link_throughput_mbps
 
             up, _ = link_throughput_mbps()
-            if up < 20.0:
+            if up < linkcfg.get("resident_min_uplink_mbps"):
                 log.warning(
                     "resident put refused: uplink %.1f MB/s too slow for a "
                     "%.0f MB upload", up, nbytes / (1 << 20),
@@ -256,11 +258,13 @@ def timed_fetch(dev) -> np.ndarray:
     global _fetch_count
     import time
 
+    from ..utils import linkcfg
     from ..utils.linkprobe import run_with_deadline
 
     nbytes = getattr(dev, "nbytes", 0) or (64 << 20)
-    # generous floor: worst measured healthy-ish downlink ~0.25 MB/s
-    deadline = 120.0 + nbytes / 0.25e6
+    # generous floor: worst measured healthy-ish downlink (configurable)
+    deadline = (linkcfg.get("fetch_deadline_base_s")
+                + nbytes / (linkcfg.get("fetch_deadline_floor_mbps") * 1e6))
     t0 = time.perf_counter()
     ok, out = run_with_deadline(lambda: np.asarray(dev), deadline)
     dt = time.perf_counter() - t0
@@ -269,6 +273,8 @@ def timed_fetch(dev) -> np.ndarray:
         raise TimeoutError(
             f"device fetch of {nbytes >> 10} KB exceeded {deadline:.0f}s")
     _fetch_count += 1
-    if _fetch_count > 2 and out.nbytes < (32 << 20) and dt > 30.0:
+    if (_fetch_count > 2
+            and out.nbytes < linkcfg.get("fetch_trip_max_mb") * (1 << 20)
+            and dt > linkcfg.get("fetch_trip_seconds")):
         trip(f"fetch of {out.nbytes >> 10} KB took {dt:.0f}s")
     return out

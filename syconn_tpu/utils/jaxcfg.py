@@ -72,7 +72,8 @@ def _enable_cache():
         pass
 
 
-def gate_platform_on_link(min_downlink_mbps: float = 2.0) -> str:
+def gate_platform_on_link(min_downlink_mbps: float | None = None,
+                          return_pinned: bool = False):
     """Pin the process to the CPU backend when the ambient accelerator's
     DOWNLINK cannot carry results (tunneled relay attachments have been
     observed to wedge mid-transfer at <0.2 MB/s with a live control plane —
@@ -80,38 +81,58 @@ def gate_platform_on_link(min_downlink_mbps: float = 2.0) -> str:
 
     Call BEFORE the first jax use of the process (pipeline launchers do).
     Probes in a subprocess with hard deadlines; respects an explicit
-    SYCONN_TPU_PLATFORM. Returns the platform the process will use."""
+    SYCONN_TPU_PLATFORM. Returns the platform the process will use, or
+    ``(platform, pinned)`` with ``return_pinned=True`` — ``pinned`` is True
+    only when THIS call newly forced CPU (so launchers can warn accurately).
+
+    An UNSET JAX_PLATFORMS does NOT mean CPU: a directly-attached
+    accelerator (the normal libtpu case) leaves it unset, and skipping the
+    probe there would forfeit exactly the init-hang protection this gate
+    exists for (ADVICE r3). Only an explicit cpu ambient skips the probe.
+    """
     import logging
     import sys
+
+    from . import linkcfg
+
+    if min_downlink_mbps is None:
+        min_downlink_mbps = linkcfg.get("min_downlink_mbps")
+
+    def _ret(platform, pinned):
+        return (platform, pinned) if return_pinned else platform
 
     log = logging.getLogger("syconn_tpu.jaxcfg")
     forced = os.environ.get("SYCONN_TPU_PLATFORM")
     if forced:
-        return forced
+        return _ret(forced, False)
     ambient = os.environ.get("JAX_PLATFORMS", "")
-    if ambient.strip().lower() in ("", "cpu"):
-        return ambient or "default"
+    if ambient.strip().lower() == "cpu":
+        return _ret(ambient, False)
     jax_mod = sys.modules.get("jax")
     if jax_mod is not None:
         try:
             if jax_mod._src.xla_bridge._backends:
                 # backend already live in-process: too late to repin, and a
                 # child probe would contend for the exclusive device
-                return ambient
+                return _ret(ambient or "default", False)
         except Exception:
             pass
     from .linkprobe import probe_link_subprocess
 
     up, down = probe_link_subprocess()
+    if not ambient and up == float("inf"):
+        # unset ambient resolved to a CPU backend in the probe child: a
+        # plain CPU host, nothing to gate
+        return _ret("default", False)
     if down < min_downlink_mbps:
         log.warning(
             "accelerator downlink %.2f MB/s (< %.1f) — pinning this process "
             "to the CPU backend so no step can wedge on device readback",
             down, min_downlink_mbps)
         os.environ["SYCONN_TPU_PLATFORM"] = "cpu"
-        return "cpu"
+        return _ret("cpu", True)
     log.info("accelerator link ok: up %.1f MB/s, down %.1f MB/s", up, down)
-    return ambient
+    return _ret(ambient or "default", False)
 
 
 def device_is_accelerator() -> bool:
@@ -146,6 +167,7 @@ def use_device_kernels() -> bool:
         return v
     if not device_is_accelerator():
         return False
+    from . import linkcfg
     from .linkprobe import downlink_mbps
 
-    return downlink_mbps() >= 15.0
+    return downlink_mbps() >= linkcfg.get("kernel_min_downlink_mbps")
