@@ -66,6 +66,11 @@ def main():
                              "dist_axoness_averaging=500 on a toy-extent "
                              "world (reference default 10000 nm assumes "
                              "mm-scale neurites)")
+    parser.add_argument("--until_step", type=int, default=99,
+                        help="stop after this pipeline step (6 = synapse "
+                             "detection). Training-world generation for the "
+                             "point models only needs geometry + syn_ssv, "
+                             "not the inference steps 7-9")
     parser.add_argument("--shard_pipeline", action=argparse.BooleanOptionalAction,
                         default=None,
                         help="run the hot pipeline steps sharded over ALL "
@@ -322,27 +327,30 @@ def main():
         exec_syns.run_cs_ssv_generation(overwrite=args.overwrite)
     ftimer.stop()
 
-    log.info("Step 7/9 - Compartment prediction")
-    ftimer.start("Compartment predictions")
-    exec_inference.run_semsegaxoness_prediction()
-    exec_inference.run_semsegspiness_prediction()
-    exec_syns.run_spinehead_volume_calc()
-    ftimer.stop()
+    if args.until_step >= 7:
+        log.info("Step 7/9 - Compartment prediction")
+        ftimer.start("Compartment predictions")
+        exec_inference.run_semsegaxoness_prediction()
+        exec_inference.run_semsegspiness_prediction()
+        exec_syns.run_spinehead_volume_calc()
+        ftimer.stop()
 
-    log.info("Step 8/9 - Cell-morphology embeddings")
-    ftimer.start("Morphology extraction")
-    exec_inference.run_morphology_embedding()
-    ftimer.stop()
+    if args.until_step >= 8:
+        log.info("Step 8/9 - Cell-morphology embeddings")
+        ftimer.start("Morphology extraction")
+        exec_inference.run_morphology_embedding()
+        ftimer.stop()
 
-    log.info("Step 9/9 - Celltype analysis")
-    ftimer.start("Celltype analysis")
-    exec_inference.run_celltype_prediction()
-    ftimer.stop()
+    if args.until_step >= 9:
+        log.info("Step 9/9 - Celltype analysis")
+        ftimer.start("Celltype analysis")
+        exec_inference.run_celltype_prediction()
+        ftimer.stop()
 
-    log.info("Step - Matrix export")
-    ftimer.start("Matrix export")
-    exec_syns.run_matrix_export()
-    ftimer.stop()
+        log.info("Step - Matrix export")
+        ftimer.start("Matrix export")
+        exec_syns.run_matrix_export()
+        ftimer.stop()
 
     log.info("\n" + ftimer.prepare_report())
     # committed-receipt artifact: per-step seconds as JSON next to the pkl
