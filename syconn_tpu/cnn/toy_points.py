@@ -397,7 +397,8 @@ def train_toy_point_models(
                 acc = float(m["acc"])
                 emit(f"[celltype_pts] step {i + 1}/{steps} acc {acc:.3f}")
         save_model(cfg.mpath_celltype_pts, model, state.params,
-                   extra_meta={"task": "celltype_pts", "toy_steps": steps, "npoints": npoints})
+                   extra_meta={"task": "celltype_pts", "toy_steps": steps,
+                               "npoints": npoints, "ctx_nm": 20_000.0})
         metrics["celltype"] = acc
 
     # ------------------------------------------------------------- glia
@@ -419,7 +420,8 @@ def train_toy_point_models(
                 acc = float(m["acc"])
                 emit(f"[glia_pts] step {i + 1}/{steps} acc {acc:.3f}")
         save_model(cfg.mpath_glia_pts, model, state.params,
-                   extra_meta={"task": "glia_pts", "toy_steps": steps, "npoints": npoints})
+                   extra_meta={"task": "glia_pts", "toy_steps": steps,
+                               "npoints": npoints, "ctx_nm": 15_000.0})
         metrics["glia"] = acc
 
     # --------------------------------------- compartment + spiness semseg
@@ -486,7 +488,8 @@ def train_toy_point_models(
                 acc = float(m["acc"])
                 emit(f"[{task}_pts] step {i + 1}/{steps} acc {acc:.3f}")
         save_model(mpath, model, state.params,
-                   extra_meta={"task": f"{task}_pts", "toy_steps": steps, "npoints": t_np})
+                   extra_meta={"task": f"{task}_pts", "toy_steps": steps,
+                               "npoints": t_np, "ctx_nm": 20_000.0})
         metrics[task] = acc
 
     # ------------------------------------------------------------- tnet
@@ -517,7 +520,8 @@ def train_toy_point_models(
                 lossv = float(m["loss"])
                 emit(f"[tnet_pts] step {i + 1}/{steps} loss {lossv:.4f}")
         save_model(cfg.mpath_tnet_pts, model, state.params,
-                   extra_meta={"task": "tnet_pts", "toy_steps": steps, "npoints": npoints})
+                   extra_meta={"task": "tnet_pts", "toy_steps": steps,
+                               "npoints": npoints, "ctx_nm": 20_000.0})
         metrics["tnet_loss"] = lossv
 
     return metrics

@@ -339,6 +339,19 @@ def _get_point_model(mpath: str, builder):
     return get_or_init_model(mpath, builder)
 
 
+def _meta_ctx(mpath: str, npoints: int, ctx_size_nm: float):
+    """Infer with the context geometry the shipped model was trained at
+    (meta keys ``npoints``/``ctx_nm``; falls back to the call defaults)."""
+    from ..models.io import load_model_meta
+
+    try:
+        meta = load_model_meta(mpath)
+    except FileNotFoundError:
+        return npoints, ctx_size_nm
+    return (int(meta.get("npoints", npoints)),
+            float(meta.get("ctx_nm", ctx_size_nm)))
+
+
 def _task_mesh(mesh):
     """Default device mesh for point-task drivers: shard context batches
     over a ``data`` axis whenever >1 device is attached (mirrors
@@ -364,9 +377,7 @@ def predict_celltype_ssd(
         ssd = SuperSegmentationDataset(working_dir=cfg.working_dir)
     if ssv_ids is None:
         ssv_ids = ssd.ssv_ids
-    from ..models.io import load_model_meta
-
-    npoints = int(load_model_meta(cfg.mpath_celltype_pts).get("npoints", npoints))
+    npoints, ctx_size_nm = _meta_ctx(cfg.mpath_celltype_pts, npoints, ctx_size_nm)
     model, params = _get_point_model(
         cfg.mpath_celltype_pts, lambda: (PointClassNet(n_classes=8), (1, npoints, 7))
     )
@@ -424,9 +435,7 @@ def predict_glia_ssv(
         ssd = SuperSegmentationDataset(working_dir=cfg.working_dir)
     if ssv_ids is None:
         ssv_ids = ssd.ssv_ids
-    from ..models.io import load_model_meta
-
-    npoints = int(load_model_meta(cfg.mpath_glia_pts).get("npoints", npoints))
+    npoints, ctx_size_nm = _meta_ctx(cfg.mpath_glia_pts, npoints, ctx_size_nm)
     model, params = _get_point_model(
         cfg.mpath_glia_pts, lambda: (PointSegNet(n_classes=2), (1, npoints, 7))
     )
@@ -488,10 +497,8 @@ def predict_compartments_ssd(
         ssv_ids = ssd.ssv_ids
     if mpath is None:
         mpath = cfg.mpath_compartment_pts
-    from ..models.io import load_model_meta
-
-    # infer with the context size the shipped model was trained at
-    npoints = int(load_model_meta(mpath).get("npoints", npoints))
+    # infer with the context geometry the shipped model was trained at
+    npoints, ctx_size_nm = _meta_ctx(mpath, npoints, ctx_size_nm)
     model, params = _get_point_model(
         mpath, lambda: (PointSegNet(n_classes=n_classes), (1, npoints, 7))
     )
@@ -584,9 +591,7 @@ def infere_cell_morphology_ssd(
     if ssv_ids is None:
         ssv_ids = ssd.ssv_ids
     ndim = int(cfg["tcmn"]["ndim_embedding"])
-    from ..models.io import load_model_meta
-
-    npoints = int(load_model_meta(cfg.mpath_tnet_pts).get("npoints", npoints))
+    npoints, ctx_size_nm = _meta_ctx(cfg.mpath_tnet_pts, npoints, ctx_size_nm)
     model, params = _get_point_model(
         cfg.mpath_tnet_pts,
         lambda: (PointClassNet(n_classes=2, embed_dim=ndim), (1, npoints, 7)),
