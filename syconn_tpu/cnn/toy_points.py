@@ -386,7 +386,8 @@ def train_toy_point_models(
     # --------------------------------------------------------- celltype
     if "celltype" in tasks:
         model = PointClassNet(n_classes=8)
-        state = make_train_state(model, (1, npoints, 7), learning_rate=learning_rate)
+        state = make_train_state(model, (1, npoints, 7), learning_rate=learning_rate,
+                                 total_steps=steps)
         step_fn = make_class_train_step(dict_output=True)
         gen = batches_cls("celltype")
         acc = 0.0
@@ -404,7 +405,8 @@ def train_toy_point_models(
     # ------------------------------------------------------------- glia
     if "glia" in tasks:
         model = PointSegNet(n_classes=2)
-        state = make_train_state(model, (1, npoints, 7), learning_rate=learning_rate)
+        state = make_train_state(model, (1, npoints, 7), learning_rate=learning_rate,
+                                 total_steps=steps)
         step_fn = make_train_step()
         acc = 0.0
         for i in range(steps):
@@ -436,7 +438,8 @@ def train_toy_point_models(
         # (tube caliber, soma curvature) that one local stage + a global
         # pool cannot express (measured node acc ~0.46 with 1 stage)
         model = PointSegNet(n_classes=n_cls, knn_stages=2)
-        state = make_train_state(model, (1, t_np, 7), learning_rate=learning_rate)
+        state = make_train_state(model, (1, t_np, 7), learning_rate=learning_rate,
+                                 total_steps=steps)
         # spiness pools at the model's own point density: voxel-cloud
         # spine-centered/general + the RECONSTRUCTION-cloud equivalents
         # (deployment distribution — voxel-only training collapsed on the
@@ -496,7 +499,8 @@ def train_toy_point_models(
     if "tnet" in tasks:
         ndim = int(cfg["tcmn"]["ndim_embedding"])
         model = PointClassNet(n_classes=2, embed_dim=ndim)
-        state = make_train_state(model, (1, npoints, 7), learning_rate=learning_rate)
+        state = make_train_state(model, (1, npoints, 7), learning_rate=learning_rate,
+                                 total_steps=steps)
         step_fn = make_triplet_train_step()
         lossv = 0.0
         tn_pools = pools + e_pools

@@ -36,12 +36,27 @@ def make_train_state(
     learning_rate: float = 1e-3,
     weight_decay: float = 1e-4,
     seed: int = 0,
+    total_steps: Optional[int] = None,
 ) -> TrainState:
+    """``total_steps`` switches the constant LR to linear-warmup (3%) +
+    cosine decay to lr/30 — measurably better final accuracy on the small
+    point models than a flat 1e-3 (the reference's elektronn3 schedulers
+    play the same role, e.g. cnn_celltype_ptcnv.py's StepLR)."""
     rng = jax.random.PRNGKey(seed)
     params = model.init(rng, jnp.zeros(example_shape, jnp.float32))["params"]
+    if total_steps:
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=learning_rate / 10.0,
+            peak_value=learning_rate,
+            warmup_steps=max(int(total_steps * 0.03), 1),
+            decay_steps=int(total_steps),
+            end_value=learning_rate / 30.0,
+        )
+    else:
+        lr = learning_rate
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
-        optax.adamw(learning_rate, weight_decay=weight_decay),
+        optax.adamw(lr, weight_decay=weight_decay),
     )
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
