@@ -159,14 +159,28 @@ def map_myelin2coords(
     chunk_of = sorted_coords // cs
     boundaries = np.any(np.diff(chunk_of, axis=0) != 0, axis=1)
     starts = np.concatenate([[0], np.flatnonzero(boundaries) + 1, [len(sorted_coords)]])
+    # probe a small neighborhood, not the single center voxel: skeleton
+    # nodes sit on the axon CORE while the sheath is a ring AROUND it, so
+    # an exact-voxel probe systematically undershoots (the reference gets
+    # the same effect for free by probing its mag-4 myelin volume, where
+    # one voxel spans the whole ring)
+    r = 1
     for si in range(len(starts) - 1):
         sl = slice(starts[si], starts[si + 1])
         pts = sorted_coords[sl]
-        lo = pts.min(axis=0)
-        hi = pts.max(axis=0) + 1
+        lo = np.maximum(pts.min(axis=0) - r, 0)
+        hi = np.minimum(pts.max(axis=0) + 1 + r, msh)
         cube = kd.load_raw(offset=lo, size=hi - lo, mag=1)
         rel = pts - lo[None]
-        out[order[sl]] = (cube[rel[:, 0], rel[:, 1], rel[:, 2]] >= thresh).astype(np.uint8)
+        hit = np.zeros(len(pts), bool)
+        for dx in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                # in-plane only: z voxels are 2x coarser (anisotropic
+                # scale), a z-step overshoots the sheath into neighbors
+                q = np.clip(rel + np.array([dx, dy, 0]), 0,
+                            np.asarray(cube.shape) - 1)
+                hit |= cube[q[:, 0], q[:, 1], q[:, 2]] >= thresh
+        out[order[sl]] = hit.astype(np.uint8)
     return out
 
 
