@@ -124,6 +124,7 @@ def _cell_contexts(world, cid, npoints, ctx_size_nm, n_contexts, rng,
 def pipeline_cloud_pools(
     wd: str, npoints: int = 2048, n_contexts: int = 8, seed: int = 0,
     spiness_npoints: int = 512,
+    comp_geom: Optional[Tuple[int, float]] = None,
 ):
     """Training pools from a PIPELINE-PROCESSED working dir: clouds come
     from the same mesh-based ``sso2pointcloud`` the deployment path uses,
@@ -134,12 +135,13 @@ def pipeline_cloud_pools(
     through the pipeline stayed ~0.5 while voxel-cloud eval scored 1.0.
     The reference trains on reconstructions for the same reason.
 
-    Returns (pools, surf_pools, sp_spine_pools, sp_general_pools) in
-    ``train_toy_point_models`` format: the last two are spiness-geometry
-    pools at ``spiness_npoints`` (spine-head-centered / general), each
-    entry (ctxs, spin_labels) — without them the spiness semseg trains on
-    voxel clouds only and collapses on reconstruction clouds (0 head
-    vertices predicted through the pipeline).
+    Returns (pools, surf_pools, sp_spine_pools, sp_general_pools[,
+    comp_pools]) in ``train_toy_point_models`` format: the spiness pools
+    are at ``spiness_npoints`` (spine-head-centered / general), each entry
+    (ctxs, spin_labels) — without them the spiness semseg trains on voxel
+    clouds only and collapses on reconstruction clouds (0 head vertices
+    predicted through the pipeline). ``comp_geom`` (npoints, ctx_nm) adds
+    compartment-geometry pools (ctxs, comp_labels) as a 5th element.
     """
     import os
 
@@ -151,6 +153,7 @@ def pipeline_cloud_pools(
     prev = global_params.wd
     pools, surf_pools = [], []
     sp_spine_pools, sp_general_pools = [], []
+    comp_pools = []
     try:
         global_params.wd = wd
         global_params.config._parse_config()
@@ -235,8 +238,17 @@ def pipeline_cloud_pools(
                 )
                 if len(sctx):
                     surf_pools.append((sctx, int(ct_gt[cell] == 3)))
+            if comp_geom is not None:
+                cx, c_ix = extract_contexts(
+                    coords, types, ctx_size_nm=comp_geom[1],
+                    npoints=comp_geom[0], n_contexts=n_contexts, rng=r,
+                )
+                if len(cx):
+                    comp_pools.append((cx, np.stack([labels[i] for i in c_ix])))
     finally:
         global_params.wd = prev
+    if comp_geom is not None:
+        return pools, surf_pools, sp_spine_pools, sp_general_pools, comp_pools
     return pools, surf_pools, sp_spine_pools, sp_general_pools
 
 
@@ -271,6 +283,7 @@ def train_toy_point_models(
     extra_pools=None,
     extra_weight: float = 0.75,
     task_npoints: Optional[Dict[str, int]] = None,
+    comp_geom: Optional[Tuple[int, float]] = None,
 ) -> Dict[str, float]:
     """Train the point models on neuron worlds and persist them to the
     working directory's ``mpath_*_pts`` model dirs. Returns final metrics.
@@ -279,7 +292,14 @@ def train_toy_point_models(
     working dirs (``pipeline_cloud_pools``) — reconstruction clouds in the
     deployment distribution. When present, batches draw from them with
     probability ``extra_weight`` (voxel-cloud training alone scored 1.0 on
-    voxel eval but ~0.5 through the pipeline — distribution shift)."""
+    voxel eval but ~0.5 through the pipeline — distribution shift).
+
+    ``comp_geom``: optional (npoints, ctx_nm) for the COMPARTMENT semseg.
+    A 20 um context on the ~1.6 um toy worlds compresses the axon/dendrite
+    caliber cue (30-100 nm radius difference) to 0.3-1% of the normalized
+    coordinate range; a world-scaled context makes it visible. The chosen
+    geometry is written to the model meta and read back at deployment
+    (inference.points._meta_ctx)."""
     import jax.numpy as jnp
 
     from ..models.io import save_model
@@ -309,6 +329,7 @@ def train_toy_point_models(
     surf_pools: List[Tuple[np.ndarray, int]] = []  # surface-only (glia path)
     spine_pools: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []  # head-centered
     pools_sp: List[Tuple[np.ndarray, np.ndarray]] = []  # spiness-npoints general
+    comp_pools: List[Tuple[np.ndarray, np.ndarray]] = []  # compartment geometry
     for wi, world in enumerate(worlds):
         ct = world["celltype_gt"]
         for cid in range(1, len(ct)):
@@ -343,6 +364,11 @@ def train_toy_point_models(
                                                r, label_kind="both")
                 if sx is not None and len(sx):
                     pools_sp.append((sx, ssl))
+            if comp_geom is not None and "compartment" in tasks:
+                cx, cpl = _cell_contexts(world, cid, comp_geom[0],
+                                         comp_geom[1], 8, r)
+                if cx is not None and len(cx):
+                    comp_pools.append((cx, cpl))
             sctx, _ = _cell_contexts(world, cid, npoints, 15_000.0, 6, r,
                                      surface_only=True)
             if sctx is not None and len(sctx):
@@ -351,10 +377,13 @@ def train_toy_point_models(
     e_surf: List[Tuple[np.ndarray, int]] = []
     e_sp_spine: List[Tuple[np.ndarray, np.ndarray]] = []
     e_sp_general: List[Tuple[np.ndarray, np.ndarray]] = []
+    e_comp: List[Tuple[np.ndarray, np.ndarray]] = []
     if extra_pools is not None:
         e_pools, e_surf = extra_pools[0], extra_pools[1]
         if len(extra_pools) >= 4:
             e_sp_spine, e_sp_general = extra_pools[2], extra_pools[3]
+        if len(extra_pools) >= 5:
+            e_comp = extra_pools[4]
     emit(f"[pts] context pools: {len(pools)} voxel cells "
          f"({sum(len(p[0]) for p in pools)} ctxs), {len(e_pools)} "
          f"reconstruction cells ({sum(len(p[0]) for p in e_pools)} ctxs)")
@@ -433,7 +462,10 @@ def train_toy_point_models(
     ):
         if task not in tasks:
             continue
-        t_np = np_sp if task == "spiness" else npoints
+        use_comp_geom = task == "compartment" and comp_geom is not None
+        t_np = np_sp if task == "spiness" else (
+            comp_geom[0] if use_comp_geom else npoints)
+        t_ctx = comp_geom[1] if use_comp_geom else 20_000.0
         # two stacked kNN stages: per-point semseg needs mid-range geometry
         # (tube caliber, soma curvature) that one local stage + a global
         # pool cannot express (measured node acc ~0.46 with 1 stage)
@@ -455,6 +487,10 @@ def train_toy_point_models(
         freqs = np.ones(n_cls, np.float64)
         if task == "spiness" and (sp_spine_all or sp_gen_all):
             for ctxs_, lab_ in sp_spine_all + sp_gen_all:
+                lv = lab_.reshape(-1)
+                freqs += np.bincount(lv[lv >= 0], minlength=n_cls)
+        elif use_comp_geom:
+            for ctxs_, lab_ in comp_pools + e_comp:
                 lv = lab_.reshape(-1)
                 freqs += np.bincount(lv[lv >= 0], minlength=n_cls)
         else:
@@ -479,6 +515,8 @@ def train_toy_point_models(
                     else:
                         entry = pools[rng.integers(len(pools))]
                         ctxs, lab = entry[0], entry[lab_ix]
+                elif use_comp_geom:
+                    ctxs, lab = pick(comp_pools, e_comp)[:2]
                 else:
                     entry = pick(pools, e_pools)
                     ctxs, lab = entry[0], entry[lab_ix]
@@ -492,7 +530,7 @@ def train_toy_point_models(
                 emit(f"[{task}_pts] step {i + 1}/{steps} acc {acc:.3f}")
         save_model(mpath, model, state.params,
                    extra_meta={"task": f"{task}_pts", "toy_steps": steps,
-                               "npoints": t_np, "ctx_nm": 20_000.0})
+                               "npoints": t_np, "ctx_nm": t_ctx})
         metrics[task] = acc
 
     # ------------------------------------------------------------- tnet

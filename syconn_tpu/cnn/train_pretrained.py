@@ -114,6 +114,14 @@ def main():
     parser.add_argument("--pts_tasks", type=str, nargs="+",
                         default=["celltype", "glia", "compartment", "spiness", "tnet"],
                         help="which point models to (re)train")
+    parser.add_argument("--comp_npoints", type=int, default=0,
+                        help="compartment semseg context points (0 = the "
+                             "shared --npoints/2048 geometry)")
+    parser.add_argument("--comp_ctx", type=float, default=0.0,
+                        help="compartment semseg context size in nm (0 = "
+                             "the shared 20000 nm geometry). World-scaled "
+                             "contexts keep the axon/dendrite caliber cue "
+                             "visible after coordinate normalization")
     parser.add_argument("--myelin_mag", type=int, default=2,
                         help="deployment mag for the myelin model. The toy "
                              "world's sheaths are 2-3 mag-1 voxels thin — "
@@ -169,7 +177,9 @@ def main():
 
         pdir = args.pipe_dir or os.path.join(wd, "pipe_worlds")
         os.makedirs(pdir, exist_ok=True)
-        ep_all, esp_all, esps_all, espg_all = [], [], [], []
+        comp_geom = ((args.comp_npoints, args.comp_ctx)
+                     if args.comp_npoints and args.comp_ctx else None)
+        ep_all, esp_all, esps_all, espg_all, ecomp_all = [], [], [], [], []
         for s in seeds[: args.pipeline_worlds]:
             pwd = os.path.join(pdir, f"seed{s}")
             if not os.path.exists(os.path.join(pwd, "neuron_gt.npz")):
@@ -178,14 +188,17 @@ def main():
                                      n_cells=args.n_cells)
                 print(f"pipeline world seed {s}: {time.time() - t1:.0f}s",
                       flush=True)
-            ep, esp, esps, espg = pipeline_cloud_pools(pwd, seed=s)
+            got = pipeline_cloud_pools(pwd, seed=s, comp_geom=comp_geom)
+            ep, esp, esps, espg = got[:4]
             ep_all.extend(ep)
             esp_all.extend(esp)
             esps_all.extend(esps)
             espg_all.extend(espg)
+            if comp_geom is not None:
+                ecomp_all.extend(got[4])
             print(f"pipeline world seed {s}: {len(ep)} cells harvested "
                   f"({len(esps)} spine-centered spiness pools)", flush=True)
-        extra = (ep_all, esp_all, esps_all, espg_all)
+        extra = (ep_all, esp_all, esps_all, espg_all, ecomp_all)
         global_params.wd = wd  # pipeline_cloud_pools restores, but be sure
         global_params.config._parse_config()
 
@@ -197,6 +210,8 @@ def main():
             tasks=tuple(args.pts_tasks),
             log_cb=lambda m: print(m, flush=True),
             extra_pools=extra,
+            comp_geom=((args.comp_npoints, args.comp_ctx)
+                       if args.comp_npoints and args.comp_ctx else None),
         )
         print("point train metrics:", pts_acc, flush=True)
         ev = eval_toy_point_models(held)
