@@ -284,6 +284,7 @@ def train_toy_point_models(
     extra_weight: float = 0.75,
     task_npoints: Optional[Dict[str, int]] = None,
     comp_geom: Optional[Tuple[int, float]] = None,
+    task_steps: Optional[Dict[str, int]] = None,
 ) -> Dict[str, float]:
     """Train the point models on neuron worlds and persist them to the
     working directory's ``mpath_*_pts`` model dirs. Returns final metrics.
@@ -299,7 +300,8 @@ def train_toy_point_models(
     caliber cue (30-100 nm radius difference) to 0.3-1% of the normalized
     coordinate range; a world-scaled context makes it visible. The chosen
     geometry is written to the model meta and read back at deployment
-    (inference.points._meta_ctx)."""
+    (inference.points._meta_ctx). ``task_steps`` overrides the step count
+    per task (e.g. fewer for the un-gated tnet embeddings)."""
     import jax.numpy as jnp
 
     from ..models.io import save_model
@@ -389,6 +391,10 @@ def train_toy_point_models(
          f"reconstruction cells ({sum(len(p[0]) for p in e_pools)} ctxs)")
 
     metrics: Dict[str, float] = {}
+    task_steps = task_steps or {}
+
+    def steps_for(task):
+        return int(task_steps.get(task, steps))
 
     def pick(vox_list, ex_list):
         """One cell entry, reconstruction-weighted when both exist."""
@@ -414,31 +420,33 @@ def train_toy_point_models(
 
     # --------------------------------------------------------- celltype
     if "celltype" in tasks:
+        steps_t = steps_for("celltype")
         model = PointClassNet(n_classes=8)
         state = make_train_state(model, (1, npoints, 7), learning_rate=learning_rate,
-                                 total_steps=steps)
+                                 total_steps=steps_t)
         step_fn = make_class_train_step(dict_output=True)
         gen = batches_cls("celltype")
         acc = 0.0
-        for i in range(steps):
+        for i in range(steps_t):
             x, y = next(gen)
             state, m = step_fn(state, jnp.asarray(x), jnp.asarray(y))
             if (i + 1) % 50 == 0:
                 acc = float(m["acc"])
-                emit(f"[celltype_pts] step {i + 1}/{steps} acc {acc:.3f}")
+                emit(f"[celltype_pts] step {i + 1}/{steps_t} acc {acc:.3f}")
         save_model(cfg.mpath_celltype_pts, model, state.params,
-                   extra_meta={"task": "celltype_pts", "toy_steps": steps,
+                   extra_meta={"task": "celltype_pts", "toy_steps": steps_t,
                                "npoints": npoints, "ctx_nm": 20_000.0})
         metrics["celltype"] = acc
 
     # ------------------------------------------------------------- glia
     if "glia" in tasks:
+        steps_t = steps_for("glia")
         model = PointSegNet(n_classes=2)
         state = make_train_state(model, (1, npoints, 7), learning_rate=learning_rate,
-                                 total_steps=steps)
+                                 total_steps=steps_t)
         step_fn = make_train_step()
         acc = 0.0
-        for i in range(steps):
+        for i in range(steps_t):
             xs, ys = [], []
             for _ in range(batch):
                 sctx, *_unused, is_g = pick(surf_pools_cls, e_surf_cls)
@@ -449,9 +457,9 @@ def train_toy_point_models(
                                jnp.asarray(np.stack(ys)))
             if (i + 1) % 50 == 0:
                 acc = float(m["acc"])
-                emit(f"[glia_pts] step {i + 1}/{steps} acc {acc:.3f}")
+                emit(f"[glia_pts] step {i + 1}/{steps_t} acc {acc:.3f}")
         save_model(cfg.mpath_glia_pts, model, state.params,
-                   extra_meta={"task": "glia_pts", "toy_steps": steps,
+                   extra_meta={"task": "glia_pts", "toy_steps": steps_t,
                                "npoints": npoints, "ctx_nm": 15_000.0})
         metrics["glia"] = acc
 
@@ -462,6 +470,7 @@ def train_toy_point_models(
     ):
         if task not in tasks:
             continue
+        steps_t = steps_for(task)
         use_comp_geom = task == "compartment" and comp_geom is not None
         t_np = np_sp if task == "spiness" else (
             comp_geom[0] if use_comp_geom else npoints)
@@ -471,7 +480,7 @@ def train_toy_point_models(
         # pool cannot express (measured node acc ~0.46 with 1 stage)
         model = PointSegNet(n_classes=n_cls, knn_stages=2)
         state = make_train_state(model, (1, t_np, 7), learning_rate=learning_rate,
-                                 total_steps=steps)
+                                 total_steps=steps_t)
         # spiness pools at the model's own point density: voxel-cloud
         # spine-centered/general + the RECONSTRUCTION-cloud equivalents
         # (deployment distribution — voxel-only training collapsed on the
@@ -502,7 +511,7 @@ def train_toy_point_models(
         cw = cw / cw.mean()
         step_fn = make_train_step(loss_fn=weighted_xent(cw))
         acc = 0.0
-        for i in range(steps):
+        for i in range(steps_t):
             xs, ys = [], []
             for _ in range(batch):
                 if task == "spiness":
@@ -527,22 +536,23 @@ def train_toy_point_models(
                                jnp.asarray(np.stack(ys).astype(np.int32)))
             if (i + 1) % 50 == 0:
                 acc = float(m["acc"])
-                emit(f"[{task}_pts] step {i + 1}/{steps} acc {acc:.3f}")
+                emit(f"[{task}_pts] step {i + 1}/{steps_t} acc {acc:.3f}")
         save_model(mpath, model, state.params,
-                   extra_meta={"task": f"{task}_pts", "toy_steps": steps,
+                   extra_meta={"task": f"{task}_pts", "toy_steps": steps_t,
                                "npoints": t_np, "ctx_nm": t_ctx})
         metrics[task] = acc
 
     # ------------------------------------------------------------- tnet
     if "tnet" in tasks:
+        steps_t = steps_for("tnet")
         ndim = int(cfg["tcmn"]["ndim_embedding"])
         model = PointClassNet(n_classes=2, embed_dim=ndim)
         state = make_train_state(model, (1, npoints, 7), learning_rate=learning_rate,
-                                 total_steps=steps)
+                                 total_steps=steps_t)
         step_fn = make_triplet_train_step()
         lossv = 0.0
         tn_pools = pools + e_pools
-        for i in range(steps):
+        for i in range(steps_t):
             xa, xp, xn = [], [], []
             for _ in range(batch):
                 ia = rng.integers(len(tn_pools))
@@ -560,9 +570,9 @@ def train_toy_point_models(
                                jnp.asarray(np.stack(xp)), jnp.asarray(np.stack(xn)))
             if (i + 1) % 50 == 0:
                 lossv = float(m["loss"])
-                emit(f"[tnet_pts] step {i + 1}/{steps} loss {lossv:.4f}")
+                emit(f"[tnet_pts] step {i + 1}/{steps_t} loss {lossv:.4f}")
         save_model(cfg.mpath_tnet_pts, model, state.params,
-                   extra_meta={"task": "tnet_pts", "toy_steps": steps,
+                   extra_meta={"task": "tnet_pts", "toy_steps": steps_t,
                                "npoints": npoints, "ctx_nm": 20_000.0})
         metrics["tnet_loss"] = lossv
 
