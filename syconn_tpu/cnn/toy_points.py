@@ -252,12 +252,19 @@ def pipeline_cloud_pools(
     return pools, surf_pools, sp_spine_pools, sp_general_pools
 
 
-def augment_context(ctx: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """Random z-rotation + axis mirror + jitter of a (npoints, 3+F) context.
+def augment_context(ctx: np.ndarray, rng: np.random.Generator,
+                    resample: float = 0.25) -> np.ndarray:
+    """Random z-rotation + axis mirror + jitter + point resampling of a
+    (npoints, 3+F) context.
 
     Deployment contexts arrive in arbitrary world orientation; without
     this the classifier memorizes the training cells' absolute layouts
-    (observed: celltype train acc 1.0, held-out 0.33)."""
+    (observed: celltype train acc 1.0, held-out 0.33). ``resample``
+    replaces up to that fraction of points with duplicates of others —
+    every deployment context is a fresh random subsample of the cell
+    cloud, and fixed pre-extracted training contexts are otherwise
+    memorized verbatim (observed again at 103 cells: train 1.0,
+    held-out 0.68)."""
     out = ctx.copy()
     a = rng.uniform(0, 2 * np.pi)
     c, s = np.cos(a), np.sin(a)
@@ -268,6 +275,13 @@ def augment_context(ctx: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     if rng.random() < 0.5:
         out[:, 2] = -out[:, 2]
     out[:, :3] += rng.normal(0, 0.01, (1, 3)).astype(np.float32)
+    if resample:
+        n = len(out)
+        k = int(n * rng.uniform(0.0, resample))
+        if k:
+            dst = rng.choice(n, size=k, replace=False)
+            src = rng.choice(n, size=k, replace=True)
+            out[dst] = out[src]
     return out
 
 
