@@ -104,6 +104,85 @@ def sso2pointcloud(
     return np.concatenate(coords), np.concatenate(types)
 
 
+N_GLOBAL_MORPH = 12
+
+
+def global_morph_scalars(ssv) -> np.ndarray:
+    """Whole-cell morphology scalars for the celltype head (N_GLOBAL_MORPH).
+
+    Celltype is a GLOBAL property — soma caliber, myelination, organelle
+    and synapse densities, total cable length — that a local point context
+    cannot see. The reference's celltype CMN injects whole-cell scalars
+    (syn-sign ratio) beside its conv features for the same reason
+    (syconn/cnn/cnn_celltype_cmn.py:21-103); here the scalars come from the
+    pipeline artifacts available before the celltype step (skeleton +
+    myelin from the skeleton step, organelle mappings from SSD creation,
+    syn_ssv from synapse detection — examples/start.py step order).
+
+    Returns raw (untransformed beyond log/ratio) float32 values; per-model
+    normalization (mean/std) is computed at training time and stored in the
+    model meta.
+    """
+    scale = np.asarray(global_params.config["scaling"], np.float64)
+    try:
+        ssv.load_attr_dict()
+    except Exception:
+        pass
+    ad = ssv.attr_dict or {}
+    try:
+        ssv.load_skeleton()
+        sk = ssv.skeleton or {}
+    except Exception:
+        sk = {}
+    nodes = np.asarray(sk.get("nodes", np.zeros((0, 3))), np.float64)
+    edges = np.asarray(sk.get("edges", np.zeros((0, 2), np.int64)), np.int64)
+    dia = np.asarray(sk.get("diameters", np.zeros(0)), np.float64)
+    my = np.asarray(sk.get("myelin", np.zeros(0)), np.float64)
+    if len(edges) and len(nodes):
+        length_nm = float(np.linalg.norm(
+            (nodes[edges[:, 0]] - nodes[edges[:, 1]]) * scale, axis=1).sum())
+    else:
+        length_nm = 0.0
+    l10 = length_nm / 1e4 + 1e-9  # in 10 µm units, for densities
+    def _n(key):
+        v = ad.get(key)
+        return 0 if v is None else len(np.atleast_1d(v))
+
+    size = float(ad.get("size") or 0)
+    n_mi = _n("mapping_mi_ids")
+    n_vc = _n("mapping_vc_ids")
+    n_syn = _n("syn_ssv")
+    bb = np.asarray(ad.get("bounding_box", np.zeros((2, 3))), np.float64)
+    diag = float(np.linalg.norm((bb[1] - bb[0]) * scale))
+    return np.array([
+        np.log10(size + 1.0),
+        float(dia.max()) if len(dia) else 0.0,    # soma caliber proxy
+        float(dia.mean()) if len(dia) else 0.0,
+        float(np.percentile(dia, 90)) if len(dia) else 0.0,
+        np.log10(length_nm + 1.0),
+        float(my.mean()) if len(my) else 0.0,     # myelin node fraction
+        n_mi / l10,
+        n_vc / l10,
+        n_syn / l10,
+        diag / (length_nm + 1e-9),                # compactness
+        size / (length_nm / 10.0 + 1e-9),         # volume per cable ~ caliber
+        float(len(nodes)),
+    ], np.float32)
+
+
+def append_global_scalars(ctxs: np.ndarray, scalars: np.ndarray,
+                          norm: Optional[Tuple[np.ndarray, np.ndarray]] = None
+                          ) -> np.ndarray:
+    """Tile per-cell scalars onto every point of every context as constant
+    trailing channels (consumed by ``PointClassNet(n_global=...)``)."""
+    s = np.asarray(scalars, np.float32)
+    if norm is not None:
+        s = (s - np.asarray(norm[0], np.float32)) / (
+            np.asarray(norm[1], np.float32) + 1e-9)
+    tiled = np.broadcast_to(s, ctxs.shape[:2] + s.shape).astype(np.float32)
+    return np.concatenate([ctxs, tiled], axis=-1)
+
+
 def extract_contexts(
     coords_nm: np.ndarray,
     types: np.ndarray,

@@ -63,7 +63,16 @@ class _PointBackbone(nn.Module):
 
 class PointClassNet(nn.Module):
     """Whole-context classification / embedding net (celltype, glia,
-    triplet morphology embeddings)."""
+    triplet morphology embeddings).
+
+    ``n_global`` > 0: the LAST n_global feature channels of every point are
+    per-CELL scalars (constant across the context — global morphology:
+    path length, soma caliber, myelin fraction, organelle/synapse
+    densities). They bypass the point backbone and join the pooled context
+    embedding — the reference's celltype CMN injects whole-cell scalars
+    (syn-sign ratio) beside the conv features the same way
+    (syconn/cnn/cnn_celltype_cmn.py:21-103 StackedConv2ScalarWithLatentAdd).
+    """
 
     n_classes: int = 8
     widths: Sequence[int] = (64, 128, 256)
@@ -71,11 +80,20 @@ class PointClassNet(nn.Module):
     embed_dim: int = 0  # >0: also emit an embedding head (tCMN analog)
     dtype: jnp.dtype = jnp.bfloat16
     knn_stages: int = 1
+    n_global: int = 0
 
     @nn.compact
     def __call__(self, pts):
+        scal = None
+        if self.n_global > 0:
+            scal = pts[:, 0, -self.n_global:].astype(jnp.float32)
+            pts = pts[..., : pts.shape[-1] - self.n_global]
         h = _PointBackbone(self.widths, self.k, self.dtype, self.knn_stages)(pts)
         g = jnp.concatenate([jnp.max(h, axis=1), jnp.mean(h, axis=1)], axis=-1)
+        if scal is not None:
+            s = nn.Dense(64, dtype=jnp.float32, name="global_proj")(scal)
+            s = nn.gelu(nn.LayerNorm(dtype=jnp.float32)(s))
+            g = jnp.concatenate([g, s.astype(g.dtype)], axis=-1)
         g = nn.Dense(256, dtype=self.dtype)(g)
         g = nn.gelu(nn.LayerNorm(dtype=jnp.float32)(g).astype(self.dtype))
         out = {}

@@ -98,12 +98,16 @@ def test_real_cell_point_semseg(real_cell):
     assert len(coords) > 80_000
     assert set(np.unique(types)) == {0, 1, 2, 3}
     model, params = load_model(packaged_model_path("compartment_pts"))
-    from syconn_tpu.models.io import load_model_meta
+    from syconn_tpu.inference.points import _meta_ctx
 
-    npoints = int(load_model_meta(packaged_model_path("compartment_pts"))
-                  .get("npoints", 2048))
+    # infer at the geometry the shipped model was trained at — exactly what
+    # predict_compartments_ssd does (a hardcoded 20 um here silently
+    # diverged from deployment when the model was retrained at a smaller,
+    # world-scaled context)
+    npoints, ctx_size_nm = _meta_ctx(
+        packaged_model_path("compartment_pts"), 2048, 20_000.0)
     ctxs, idx_lists = extract_contexts(
-        coords, types, ctx_size_nm=20_000.0, npoints=npoints,
+        coords, types, ctx_size_nm=ctx_size_nm, npoints=npoints,
         rng=np.random.default_rng(1),
     )
     assert len(ctxs) >= 8  # surface coverage of a ~90 um cell
@@ -113,11 +117,16 @@ def test_real_cell_point_semseg(real_cell):
     vote = np.zeros(len(coords), np.int64)
     for ixs in idx_lists:
         vote[ixs] += 1
-    # surface-sampled contexts reach a substantial share of the 56k-vertex
-    # real cell (each context subsamples npoints from a 10 um ball, and the
-    # sampler caps at 64 centers — full coverage is not the contract;
-    # downstream node mapping uses labeled vertices only)
-    assert (vote[types == 0] > 0).mean() > 0.3
+    # deployment maps skeleton nodes from the k nearest LABELED vertices
+    # (predict_compartments_ssd) — full coverage is not the contract. What
+    # it needs: plenty of labeled surface vertices, spread across the cell
+    # (not one corner), at whatever context geometry the model shipped with.
+    surf_hit = (vote > 0) & (types == 0)
+    assert surf_hit.sum() > 2_000
+    surf = coords[types == 0]
+    hit_span = np.ptp(coords[surf_hit], axis=0)
+    full_span = np.ptp(surf, axis=0)
+    assert np.all(hit_span > 0.5 * full_span)
 
 
 def test_real_cell_export_roundtrip(real_cell, tmp_path):
