@@ -120,6 +120,15 @@ def gate_platform_on_link(min_downlink_mbps: float | None = None,
     from .linkprobe import probe_link_subprocess
 
     up, down = probe_link_subprocess()
+    if down <= 0.0 and up > 0.0:
+        # uploads land but the first probe saw no downlink: the relay's
+        # throughput is non-stationary (observed healthy<->collapsed swings
+        # within one minute) — retry once before pinning an entire pipeline
+        # run to the CPU backend (bench.py retries the same way)
+        import time as _time
+
+        _time.sleep(5.0)
+        up, down = probe_link_subprocess()
     if not ambient and up == float("inf"):
         # unset ambient resolved to a CPU backend in the probe child: a
         # plain CPU host, nothing to gate
