@@ -117,24 +117,33 @@ def link_throughput_mbps(size_mb: int = 8, refresh: bool = False) -> Tuple[float
     if jax.default_backend() == "cpu":
         _cache = (float("inf"), float("inf"))
         return _cache
+    # pay the relay's one-time per-process d2h warm-up (measured 36-90 s
+    # before the first readback of a process returns) on a tiny buffer
+    # under its own generous deadline, so the throughput measurement below
+    # reflects the steady link. A truly wedged downlink (the tiny readback
+    # never returns) still reads as down. Each deadline matters: the relay
+    # has been observed to wedge MID-transfer, after backend init.
+    def _warm():
+        td = jax.device_put(np.zeros(1024, np.uint8))
+        td.block_until_ready()
+        np.asarray(td)
+
+    ok, _ = run_with_deadline(_warm, 150.0)
+    if not ok:
+        log.warning("device d2h warm-up hung >150s — treating the link as down")
+        _cache = (0.0, 0.0)
+        return _cache
+
     def _measure():
         x = np.zeros(size_mb * 1024 * 1024, np.uint8)
         t0 = time.perf_counter()
         xd = jax.device_put(x)
         xd.block_until_ready()
         t1 = time.perf_counter()
-        # pay the relay's one-time per-process d2h warm-up (measured
-        # 36-48 s before the first readback of a session returns) on a
-        # tiny buffer so the timed transfer reflects steady throughput
-        np.asarray(jax.device_put(np.zeros(1024, np.uint8)))
-        t2 = time.perf_counter()
         np.asarray(xd)
-        t3 = time.perf_counter()
-        return size_mb / max(t1 - t0, 1e-9), size_mb / max(t3 - t2, 1e-9)
+        t2 = time.perf_counter()
+        return size_mb / max(t1 - t0, 1e-9), size_mb / max(t2 - t1, 1e-9)
 
-    # the measurement itself must carry a deadline: the relay has been
-    # observed to wedge mid-transfer (backend init fine, first d2h hangs
-    # forever) — without this the probe deadlocks the caller it protects
     ok, updown = run_with_deadline(_measure, 90.0)
     if not ok:
         log.warning("device link probe hung >90s — treating the link as down")
