@@ -39,6 +39,12 @@ DEFAULTS: dict[str, float] = {
     # base_seconds + nbytes / floor_mbps (worst healthy-ish downlink)
     "fetch_deadline_base_s": 120.0,
     "fetch_deadline_floor_mbps": 0.25,
+    # the relay pays a ONE-TIME per-process latency before the first d2h
+    # readback returns (measured 1-200+ s, independent of payload); the
+    # in-process probe warms the channel on a tiny buffer under this
+    # deadline before timing throughput. Long-running pipelines should
+    # raise it: a few minutes of patience beats an hour on the host path.
+    "d2h_warmup_deadline_s": 150.0,
 }
 
 

@@ -128,9 +128,13 @@ def link_throughput_mbps(size_mb: int = 8, refresh: bool = False) -> Tuple[float
         td.block_until_ready()
         np.asarray(td)
 
-    ok, _ = run_with_deadline(_warm, 150.0)
+    from . import linkcfg
+
+    warm_s = linkcfg.get("d2h_warmup_deadline_s")
+    ok, _ = run_with_deadline(_warm, warm_s)
     if not ok:
-        log.warning("device d2h warm-up hung >150s — treating the link as down")
+        log.warning("device d2h warm-up hung >%.0fs — treating the link as "
+                    "down", warm_s)
         _cache = (0.0, 0.0)
         return _cache
 
