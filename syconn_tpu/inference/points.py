@@ -460,6 +460,17 @@ def predict_celltype_ssd(
     model, params = _get_point_model(
         cfg.mpath_celltype_pts, lambda: (PointClassNet(n_classes=8), (1, npoints, 7))
     )
+    # hybrid celltype head: per-cell morphology scalars beside the point
+    # contexts (reference scalar injection: syconn/cnn/cnn_celltype_cmn.py:21-103)
+    n_global = int(getattr(model, "n_global", 0) or 0)
+    norm = None
+    if n_global:
+        from ..models.io import load_model_meta
+
+        meta = load_model_meta(cfg.mpath_celltype_pts)
+        if "global_norm_mu" in meta:
+            norm = (np.asarray(meta["global_norm_mu"], np.float32),
+                    np.asarray(meta["global_norm_sd"], np.float32))
     pred = ContextPredictor(model, params, npoints=npoints, batch=16,
                             mesh=_task_mesh(mesh))
     pipe = ContextPipeline(pred)
@@ -473,6 +484,8 @@ def predict_celltype_ssd(
             coords, types, ctx_size_nm=ctx_size_nm, npoints=npoints, n_contexts=n_contexts,
             rng=np.random.default_rng(int(ssv_id)),
         )
+        if n_global and len(ctxs):
+            ctxs = append_global_scalars(ctxs, global_morph_scalars(ssv), norm)
         return ctxs, None
 
     def post(ssv_id, out, aux):
