@@ -125,6 +125,7 @@ def pipeline_cloud_pools(
     wd: str, npoints: int = 2048, n_contexts: int = 8, seed: int = 0,
     spiness_npoints: int = 512,
     comp_geom: Optional[Tuple[int, float]] = None,
+    ct_geom: Optional[Tuple[int, float]] = None,
 ):
     """Training pools from a PIPELINE-PROCESSED working dir: clouds come
     from the same mesh-based ``sso2pointcloud`` the deployment path uses,
@@ -142,11 +143,16 @@ def pipeline_cloud_pools(
     clouds only and collapses on reconstruction clouds (0 head vertices
     predicted through the pipeline). ``comp_geom`` (npoints, ctx_nm) adds
     compartment-geometry pools (ctxs, comp_labels) as a 5th element.
+    ``ct_geom`` (npoints, ctx_nm) adds HYBRID celltype pools (ctxs,
+    global_morph_scalars, celltype) as a 6th element — point contexts at
+    the celltype geometry plus the whole-cell scalars the deployed
+    ``predict_celltype_ssd`` injects for ``PointClassNet(n_global>0)``.
     """
     import os
 
     from .. import global_params
-    from ..inference.points import extract_contexts, sso2pointcloud
+    from ..inference.points import (extract_contexts, global_morph_scalars,
+                                    sso2pointcloud)
     from ..reps.super_segmentation import SuperSegmentationDataset
 
     gt = np.load(os.path.join(wd, "neuron_gt.npz"))
@@ -154,6 +160,7 @@ def pipeline_cloud_pools(
     pools, surf_pools = [], []
     sp_spine_pools, sp_general_pools = [], []
     comp_pools = []
+    ct_pools = []
     try:
         global_params.wd = wd
         global_params.config._parse_config()
@@ -245,11 +252,22 @@ def pipeline_cloud_pools(
                 )
                 if len(cx):
                     comp_pools.append((cx, np.stack([labels[i] for i in c_ix])))
+            if ct_geom is not None:
+                tcx, _ = extract_contexts(
+                    coords, types, ctx_size_nm=ct_geom[1],
+                    npoints=ct_geom[0], n_contexts=16, rng=r,
+                )
+                if len(tcx):
+                    ct_pools.append((tcx, global_morph_scalars(ssv),
+                                     int(ct_gt[cell])))
     finally:
         global_params.wd = prev
-    if comp_geom is not None:
-        return pools, surf_pools, sp_spine_pools, sp_general_pools, comp_pools
-    return pools, surf_pools, sp_spine_pools, sp_general_pools
+    out = [pools, surf_pools, sp_spine_pools, sp_general_pools]
+    if comp_geom is not None or ct_geom is not None:
+        out.append(comp_pools)
+    if ct_geom is not None:
+        out.append(ct_pools)
+    return tuple(out)
 
 
 def augment_context(ctx: np.ndarray, rng: np.random.Generator,
@@ -298,6 +316,7 @@ def train_toy_point_models(
     extra_weight: float = 0.75,
     task_npoints: Optional[Dict[str, int]] = None,
     comp_geom: Optional[Tuple[int, float]] = None,
+    ct_geom: Optional[Tuple[int, float]] = None,
     task_steps: Optional[Dict[str, int]] = None,
 ) -> Dict[str, float]:
     """Train the point models on neuron worlds and persist them to the
@@ -394,12 +413,15 @@ def train_toy_point_models(
     e_sp_spine: List[Tuple[np.ndarray, np.ndarray]] = []
     e_sp_general: List[Tuple[np.ndarray, np.ndarray]] = []
     e_comp: List[Tuple[np.ndarray, np.ndarray]] = []
+    e_ct: List[Tuple[np.ndarray, np.ndarray, int]] = []  # hybrid celltype
     if extra_pools is not None:
         e_pools, e_surf = extra_pools[0], extra_pools[1]
         if len(extra_pools) >= 4:
             e_sp_spine, e_sp_general = extra_pools[2], extra_pools[3]
         if len(extra_pools) >= 5:
             e_comp = extra_pools[4]
+        if len(extra_pools) >= 6:
+            e_ct = extra_pools[5]
     emit(f"[pts] context pools: {len(pools)} voxel cells "
          f"({sum(len(p[0]) for p in pools)} ctxs), {len(e_pools)} "
          f"reconstruction cells ({sum(len(p[0]) for p in e_pools)} ctxs)")
@@ -433,7 +455,43 @@ def train_toy_point_models(
     e_surf_cls = [(s, None, None, None, g) for s, g in e_surf]
 
     # --------------------------------------------------------- celltype
-    if "celltype" in tasks:
+    if "celltype" in tasks and e_ct and ct_geom is not None:
+        # HYBRID head: local point contexts + whole-cell morphology scalars
+        # (reference scalar injection: syconn/cnn/cnn_celltype_cmn.py:21-103).
+        # Trained ONLY on pipeline-processed reconstruction clouds — the
+        # scalars come from pipeline artifacts that voxel worlds lack.
+        # Measured r4: local-only capped at 0.56 end-to-end; hybrid 0.77.
+        from ..inference.points import N_GLOBAL_MORPH, append_global_scalars
+
+        steps_t = steps_for("celltype")
+        np_ct, ctx_ct = int(ct_geom[0]), float(ct_geom[1])
+        S = np.stack([p[1] for p in e_ct])
+        mu, sd = S.mean(0), S.std(0) + 1e-9
+        model = PointClassNet(n_classes=8, n_global=N_GLOBAL_MORPH)
+        state = make_train_state(model, (1, np_ct, 7 + N_GLOBAL_MORPH),
+                                 learning_rate=learning_rate,
+                                 total_steps=steps_t)
+        step_fn = make_class_train_step(dict_output=True)
+        acc = 0.0
+        for i in range(steps_t):
+            xs, ys = [], []
+            for _ in range(batch):
+                ctxs, scal, ct_i = e_ct[rng.integers(len(e_ct))]
+                x = augment_context(ctxs[rng.integers(len(ctxs))], rng)
+                xs.append(append_global_scalars(x[None], scal, (mu, sd))[0])
+                ys.append(ct_i)
+            state, m = step_fn(state, jnp.asarray(np.stack(xs)),
+                               jnp.asarray(np.asarray(ys, np.int32)))
+            if (i + 1) % 50 == 0:
+                acc = float(m["acc"])
+                emit(f"[celltype_pts hybrid] step {i + 1}/{steps_t} acc {acc:.3f}")
+        save_model(cfg.mpath_celltype_pts, model, state.params,
+                   extra_meta={"task": "celltype_pts", "toy_steps": steps_t,
+                               "npoints": np_ct, "ctx_nm": ctx_ct,
+                               "global_norm_mu": [float(v) for v in mu],
+                               "global_norm_sd": [float(v) for v in sd]})
+        metrics["celltype"] = acc
+    elif "celltype" in tasks:
         steps_t = steps_for("celltype")
         model = PointClassNet(n_classes=8)
         state = make_train_state(model, (1, npoints, 7), learning_rate=learning_rate,
@@ -616,7 +674,10 @@ def eval_toy_point_models(
             return None, None
 
     model, params = _try_load(cfg.mpath_celltype_pts)
-    if model is None:
+    if model is not None and int(getattr(model, "n_global", 0) or 0) > 0:
+        # hybrid celltype needs pipeline artifacts for its whole-cell
+        # scalars; a raw voxel world has none — score it end-to-end with
+        # cnn/eval_quality instead
         model = params = None
     hits, tot = 0, 0
     if model is not None:

@@ -173,3 +173,49 @@ def test_context_predictor_mesh_rounds_batch_up():
     assert pred.batch == 16  # rounded up to a multiple of 8
     out = pred.dispatch(np.zeros((3, 64, 7), np.float32))
     assert np.asarray(out["logits"]).shape[0] == 16
+
+
+def test_hybrid_celltype_global_scalars():
+    """PointClassNet(n_global=k) consumes contexts with k trailing constant
+    channels (append_global_scalars), and the packaged-meta norm round-trips
+    through save_model/load_model (the deployed hybrid celltype path)."""
+    import tempfile
+
+    import jax
+
+    from syconn_tpu.inference.points import append_global_scalars
+    from syconn_tpu.models.io import (init_model_params, load_model,
+                                      load_model_meta, save_model)
+    from syconn_tpu.models.pointnet import PointClassNet
+
+    rng = np.random.default_rng(0)
+    ctxs = rng.normal(size=(3, 64, 7)).astype(np.float32)
+    scal = np.arange(5, dtype=np.float32)
+    mu, sd = np.ones(5, np.float32), 2 * np.ones(5, np.float32)
+    x = append_global_scalars(ctxs, scal, (mu, sd))
+    assert x.shape == (3, 64, 12)
+    # constant per point, normalized
+    assert np.allclose(x[:, :, 7:], ((scal - mu) / (sd + 1e-9))[None, None])
+    assert np.allclose(x[:, :, :7], ctxs)
+
+    model = PointClassNet(n_classes=4, widths=(16,), k=4, n_global=5)
+    params = init_model_params(model, (1, 64, 12))
+    out = model.apply({"params": params}, x)
+    assert np.asarray(out["logits"]).shape == (3, 4)
+    # the scalars must influence the logits (routed around the backbone)
+    out2 = model.apply({"params": params},
+                       append_global_scalars(ctxs, scal + 3.0, (mu, sd)))
+    assert not np.allclose(np.asarray(out["logits"]), np.asarray(out2["logits"]))
+
+    with tempfile.TemporaryDirectory() as d:
+        save_model(d, model, params, extra_meta={
+            "npoints": 64, "ctx_nm": 3200.0,
+            "global_norm_mu": [float(v) for v in mu],
+            "global_norm_sd": [float(v) for v in sd]})
+        m2, p2 = load_model(d)
+        meta = load_model_meta(d)
+        assert m2.n_global == 5
+        assert np.allclose(meta["global_norm_mu"], mu)
+        out3 = m2.apply({"params": p2}, x)
+        assert np.allclose(np.asarray(out["logits"]),
+                           np.asarray(out3["logits"]), atol=1e-5)
