@@ -129,14 +129,36 @@ class DenseTilePredictor:
         hp = tuple(int(x) for x in self.halo // patch)  # patched halo
         assert (pvox * n_classes) % 8 == 0
 
+        # the FLOPs-heavy 3x3x3 conv blocks run through the fused Pallas
+        # kernel on TPU (models/unet_engine.py; XLA's Conv3D lowering left
+        # the MXU ~87% idle — BENCH r3/r4); flax apply everywhere else.
+        # _pallas_fallback() rebuilds without the engine if Mosaic rejects
+        # a shape at runtime.
+        self._use_pallas = False
+        try:
+            from ..models.unet_engine import engine_supported
+            from ..ops.conv3d_pallas import pallas_convs_enabled
+
+            self._use_pallas = bool(
+                engine_supported(model) and pallas_convs_enabled())
+        except Exception:  # pragma: no cover - engine import guard
+            pass
+
+        def apply_packed(params, x5):
+            if self._use_pallas:
+                from ..models.unet_engine import unet_apply_packed
+
+                return unet_apply_packed(model, params, x5)
+            return model.apply({"params": params}, x5, full_res=False)
+
         # All device buffers stay in the patched layout (minor dim
         # n_classes*pvox >= 128): softmax/threshold/bit-pack fuse without
         # materializing padded full-resolution tensors; the host performs
         # the final depth-to-space (cheap transpose of uint8 data).
         @jax.jit
         def fwd(params, x):
-            lg = model.apply(
-                {"params": params}, x[..., None].astype(jnp.float32), full_res=False
+            lg = apply_packed(
+                params, x[..., None].astype(jnp.float32)
             )  # (B, Xp, Yp, Zp, C*pvox)
             lg = lg[
                 :, hp[0] : hp[0] + tsp[0], hp[1] : hp[1] + tsp[1], hp[2] : hp[2] + tsp[2], :
@@ -151,16 +173,40 @@ class DenseTilePredictor:
             weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
             return jnp.sum(fg.astype(jnp.uint8) * weights, axis=-1, dtype=jnp.uint8)
 
-        if self._data_sharding is not None:
-            # batch-sharded jit: XLA partitions the forward over 'data';
-            # per-tile arithmetic is unchanged -> outputs identical to serial
-            fwd = jax.jit(
-                fwd.__wrapped__,
-                in_shardings=(NamedSharding(mesh, _P()), self._data_sharding),
-                out_shardings=self._data_sharding,
-            )
-        self._fwd = fwd
+        fwd_raw = fwd.__wrapped__
+
+        def _jit_fwd():
+            if self._data_sharding is not None:
+                # batch-sharded jit: XLA partitions the forward over
+                # 'data'; per-tile arithmetic is unchanged -> outputs
+                # identical to serial
+                return jax.jit(
+                    fwd_raw,
+                    in_shardings=(NamedSharding(mesh, _P()), self._data_sharding),
+                    out_shardings=self._data_sharding,
+                )
+            return jax.jit(fwd_raw)
+
+        self._fwd = _jit_fwd()
+        self._jit_fwd = _jit_fwd
         self._in_shape = (self.batch_size,) + tuple(np.add(ts, np.multiply(2, h)))
+
+    def _pallas_fallback(self) -> bool:
+        """Disable the Pallas conv engine and re-jit (fresh trace reads the
+        flag); returns True if a retry makes sense. Keeps serving alive if
+        Mosaic rejects a shape this build never saw."""
+        if not getattr(self, "_use_pallas", False):
+            return False
+        import logging
+
+        logging.getLogger("syconn_tpu.inference").warning(
+            "pallas conv engine failed to compile/run - falling back to "
+            "the XLA forward", exc_info=True)
+        self._use_pallas = False
+        self._fwd = self._jit_fwd()
+        if hasattr(self, "_resident_jits"):
+            self._resident_jits = {}
+        return True
 
     @property
     def n_classes(self) -> int:
@@ -171,7 +217,12 @@ class DenseTilePredictor:
         """Upload + launch (non-blocking); returns a device future."""
         if self._data_sharding is not None:
             x = jax.device_put(np.asarray(x), self._data_sharding)
-        return self._fwd(self._params, jnp.asarray(x))
+        try:
+            return self._fwd(self._params, jnp.asarray(x))
+        except Exception:
+            if not self._pallas_fallback():
+                raise
+            return self._fwd(self._params, jnp.asarray(x))
 
     def fetch_raw(self, dev_out) -> np.ndarray:
         """Block on the device future; returns the packed patched array."""
@@ -324,6 +375,8 @@ class ResidentDensePredictor(DenseTilePredictor):
                     jax.block_until_ready(out)
                 return out, grid
             except Exception as e:
+                if not _is_oom(e) and self._pallas_fallback():
+                    continue  # _resident_jits cleared; rebuild on XLA
                 if tb <= 1 or not _is_oom(e):
                     raise
                 tb = max(tb // 2, 1)

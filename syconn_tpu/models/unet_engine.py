@@ -1,0 +1,115 @@
+"""Inference engine for :class:`syconn_tpu.models.unet3d.UNet3D` with the
+fused Pallas conv blocks.
+
+Replays the exact module graph of ``UNet3D.__call__`` from the flax params
+pytree, but runs every SAME-padded 3x3x3 ConvBlock through
+:func:`syconn_tpu.ops.conv3d_pallas.conv3x3x3_ln_gelu` (27 accumulated MXU
+matmuls + fused LayerNorm/GELU epilogue, ~87% of the net's FLOPs) while
+the cheap strided/transpose convs and the 1x1x1 head stay on XLA. Training
+keeps the flax module; serving swaps in this engine (inference/dense.py)
+when SYCONN_TPU_PALLAS_CONV permits — the separation mirrors the
+reference's train-in-elektronn3 / serve-compiled split
+(syconn/handler/prediction.py:594).
+
+Numerics: identical op order per layer; conv tap accumulation order
+differs from XLA's conv schedule (both f32 accumulations rounded to bf16)
+— agreement to bf16 resolution, asserted in tests/test_conv_pallas.py.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.conv3d_pallas import conv3x3x3_ln_gelu
+from .unet3d import UNet3D, space_to_depth
+
+__all__ = ["unet_apply_packed", "engine_supported"]
+
+
+def engine_supported(model) -> bool:
+    """The engine covers the UNet3D family as built by ``unet_variants``:
+    SAME 3x3x3 conv blocks, stride-2 transitions, patchify stem."""
+    return isinstance(model, UNet3D)
+
+
+def _block(params, name, h, interpret):
+    p = params[name]
+    for i in range(2):
+        h = conv3x3x3_ln_gelu(
+            h,
+            p[f"Conv_{i}"]["kernel"],
+            p[f"Conv_{i}"]["bias"],
+            p[f"LayerNorm_{i}"]["scale"],
+            p[f"LayerNorm_{i}"]["bias"],
+            interpret=interpret,
+        )
+    return h
+
+
+_DN = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def _down(params, name, h, stride):
+    p = params[name]
+    y = jax.lax.conv_general_dilated(
+        h, p["kernel"].astype(jnp.bfloat16),
+        window_strides=tuple(int(s) for s in stride), padding="SAME",
+        dimension_numbers=_DN,
+    )
+    return y + p["bias"].astype(jnp.bfloat16)
+
+
+def _up(params, name, h, stride):
+    p = params[name]
+    y = jax.lax.conv_transpose(
+        h, p["kernel"].astype(jnp.bfloat16),
+        strides=tuple(int(s) for s in stride), padding="SAME",
+        dimension_numbers=_DN, transpose_kernel=False,
+    )
+    return y + p["bias"].astype(jnp.bfloat16)
+
+
+def unet_apply_packed(model: UNet3D, params, x, interpret: bool = None):
+    """= ``model.apply({'params': params}, x, full_res=False)`` with the
+    Pallas conv blocks. x: (B, X, Y, Z, 1) raw voxels (uint8 value range).
+    Returns packed logits (B, X/px, Y/py, Z/pz, n_classes * pvox)."""
+    if interpret is None:
+        # Mosaic kernels need a TPU; CPU (tests, opt-in) interprets
+        interpret = jax.default_backend() == "cpu"
+    feats: Tuple[int, ...] = tuple(model.features)
+    depth = len(feats)
+    h = (x.astype(jnp.float32) / 127.5 - 1.0).astype(jnp.bfloat16)
+    h = space_to_depth(h, tuple(model.patch))
+    skips = []
+    for i in range(depth):
+        h = _block(params, f"ConvBlock_{i}", h, interpret)
+        if i < depth - 1:
+            skips.append(h)
+            h = _down(params, f"Conv_{i}", h, model.strides[i])
+    for k, i in enumerate(reversed(range(depth - 1))):
+        h = _up(params, f"ConvTranspose_{k}", h, model.strides[i])
+        h = jnp.concatenate([h, skips[i].astype(jnp.bfloat16)], axis=-1)
+        h = _block(params, f"ConvBlock_{depth + k}", h, interpret)
+    hp = params["head"]
+    hf = h.astype(jnp.float32)
+    head = jax.lax.conv_general_dilated(
+        hf, hp["kernel"].astype(jnp.float32), window_strides=(1, 1, 1),
+        padding="SAME", dimension_numbers=_DN,
+    ) + hp["bias"].astype(jnp.float32)
+    return head
+
+
+def unet_apply_full(model: UNet3D, params, x, interpret: bool = None):
+    """Full-resolution variant (mirrors ``full_res=True``)."""
+    from .unet3d import depth_to_space
+
+    head = unet_apply_packed(model, params, x, interpret=interpret)
+    pvox = int(np.prod(model.patch))
+    b, sx, sy, sz, _ = head.shape
+    lg = head.reshape(b, sx, sy, sz, model.n_classes, pvox)
+    lg = jnp.moveaxis(lg, -2, -1)
+    return depth_to_space(lg.reshape(b, sx, sy, sz, -1), tuple(model.patch))

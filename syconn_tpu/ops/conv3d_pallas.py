@@ -1,0 +1,161 @@
+"""Pallas TPU kernel: fused 3x3x3 conv + LayerNorm + GELU ("ConvBlock" unit).
+
+The dense U-Net's FLOPs live in its SAME-padded 3x3x3 convolutions
+(models/unet3d.py ConvBlock — reference counterpart: the elektronn3 U-Nets
+behind syconn/handler/prediction.py:594). XLA's Conv3D lowering ran the
+whole organelles net at ~13% MFU on v5e (BENCH r3/r4 receipts); this kernel
+reformulates each conv block as 27 accumulated MXU matmuls over a
+VMEM-resident window and fuses the normalization + activation epilogue so
+the conv output never round-trips HBM:
+
+* grid over (batch, x-blocks, y-blocks); each instance DMAs its
+  (BX+2, BY+2, Zp, Cin) halo window from the HBM-resident padded input
+  (full-extent minor dim keeps the DMA aligned; Zp is the z extent rounded
+  to the bf16 sublane tile);
+* for each tap (dx, dy, dz): a static shifted slice of the window,
+  collapsed to (BX*BY*Zs, Cin) — layout-free when Zs is a sublane multiple
+  — and one MXU matmul against the (Cin, Cout) tap weights, accumulated in
+  float32;
+* epilogue: bias, round-to-bf16 (matching the flax conv's bf16 output),
+  LayerNorm in f32 (flax epsilon 1e-6), GELU, cast, write.
+
+Numerics: identical op order to ``ConvBlock`` except the conv's internal
+accumulation order (27 ordered tap matmuls vs XLA's conv schedule) — both
+accumulate f32 and round to bf16, so results agree to bf16 resolution
+(exactness-tested vs the flax module in tests/test_conv_pallas.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.jaxcfg import setup_jax
+
+setup_jax()
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["conv3x3x3_ln_gelu", "pallas_convs_enabled"]
+
+
+def _ceil_to(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _pick_block(extent: int, target: int = 8) -> int:
+    """Largest divisor of ``extent`` that is <= target (>=1)."""
+    for b in range(min(target, extent), 0, -1):
+        if extent % b == 0:
+            return b
+    return 1
+
+
+def pallas_convs_enabled() -> bool:
+    """Default-on for TPU backends, opt-out via SYCONN_TPU_PALLAS_CONV=0
+    (and opt-in on other backends via =1, which runs in interpret mode)."""
+    import os
+
+    v = os.environ.get("SYCONN_TPU_PALLAS_CONV")
+    if v is not None:
+        return v not in ("0", "false", "False")
+    return jax.default_backend() not in ("cpu",)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def conv3x3x3_ln_gelu(x, w, b, ln_scale, ln_bias, interpret=False):
+    """y = GELU(LayerNorm(Conv3D_same_3x3x3(x, w) + b)).
+
+    Args:
+        x: (B, X, Y, Z, Cin) bfloat16.
+        w: (3, 3, 3, Cin, Cout) conv kernel (flax ``Conv.kernel`` layout).
+        b: (Cout,) conv bias.
+        ln_scale, ln_bias: (Cout,) LayerNorm params (f32).
+    Returns:
+        (B, X, Y, Z, Cout) bfloat16.
+    """
+    B, X, Y, Z, Cin = x.shape
+    Cout = w.shape[-1]
+    BX = _pick_block(X)
+    BY = _pick_block(Y)
+    # z extents: Zs = sliceable core rounded to the bf16 sublane tile (16)
+    # so the (BX, BY, Zs, Cin) -> (BX*BY*Zs, Cin) collapse is layout-free;
+    # Zp = padded window extent with room for the +-1 z taps
+    Zs = _ceil_to(Z, 16)
+    Zp = Zs + 16
+    # SAME halo of 1 + z padding to Zp (zeros; rows >= Z+2 are garbage that
+    # the epilogue never reads back into real rows — LN is per-position)
+    xp = jnp.pad(
+        x.astype(jnp.bfloat16),
+        ((0, 0), (1, 1), (1, 1), (1, Zp - Z - 1), (0, 0)),
+    )
+    w = w.astype(jnp.bfloat16).reshape(27, Cin, Cout)
+    b = b.astype(jnp.bfloat16).reshape(1, Cout)
+    ln_scale = ln_scale.astype(jnp.float32).reshape(1, Cout)
+    ln_bias = ln_bias.astype(jnp.float32).reshape(1, Cout)
+    M = BX * BY * Zs
+
+    def kernel(x_hbm, w_ref, b_ref, g_ref, bt_ref, out_ref, win, sem):
+        bb = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        cp = pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(i * BX, BX + 2), pl.ds(j * BY, BY + 2), :, :],
+            win,
+            sem,
+        )
+        cp.start()
+        cp.wait()
+        acc = jnp.zeros((M, Cout), jnp.float32)
+        for dx in range(3):
+            for dy in range(3):
+                sl_xy = win[dx : dx + BX, dy : dy + BY]
+                for dz in range(3):
+                    sl = sl_xy[:, :, dz : dz + Zs, :].reshape(M, Cin)
+                    acc = acc + jnp.dot(
+                        sl, w_ref[dx * 9 + dy * 3 + dz],
+                        preferred_element_type=jnp.float32,
+                    )
+        # conv epilogue matching flax op order: round the f32 accumulator
+        # to bf16, add the bf16 bias IN bf16 (nn.Conv promotes bias to its
+        # compute dtype), then LayerNorm in f32 + GELU (flax LN: eps 1e-6,
+        # E[x^2] variance)
+        h = (acc.astype(jnp.bfloat16) + b_ref[...]).astype(jnp.float32)
+        mu = jnp.mean(h, axis=-1, keepdims=True)
+        var = jnp.mean(h * h, axis=-1, keepdims=True) - mu * mu
+        y = (h - mu) * jax.lax.rsqrt(var + 1e-6) * g_ref[...] + bt_ref[...]
+        y = jax.nn.gelu(y).astype(jnp.bfloat16)
+        out_ref[...] = y.reshape(1, BX, BY, Zs, Cout)[:, :, :, :Z, :]
+
+    flops = 2 * 27 * B * X * Y * Z * Cin * Cout
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, X, Y, Z, Cout), jnp.bfloat16),
+        grid=(B, X // BX, Y // BY),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # padded x stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w (27, Cin, Cout)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln scale
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln bias
+        ],
+        out_specs=pl.BlockSpec(
+            (1, BX, BY, Z, Cout),
+            lambda bb, i, j: (bb, i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BX + 2, BY + 2, Zp, Cin), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * 2 + B * X * Y * Z * Cout * 2,
+            transcendentals=B * X * Y * Z * Cout,
+        ),
+        interpret=interpret,
+    )(xp, w, b, ln_scale, ln_bias)
