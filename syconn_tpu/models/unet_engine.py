@@ -63,14 +63,28 @@ def _down(params, name, h, stride):
     return y + p["bias"].astype(jnp.bfloat16)
 
 
-def _up(params, name, h, stride):
+def _up(params, name, h, stride, interpret):
+    """flax ConvTranspose (SAME, k=3, s=2) == a SAME 3x3x3 conv over the
+    2x zero-stuffed volume with the input at ODD indices (the (2,1)
+    transpose padding absorbed into the stuffing offset; verified exact
+    vs nn.ConvTranspose) — which the fused Pallas conv kernel runs with a
+    linear epilogue. Non-2 strides fall back to lax.conv_transpose."""
     p = params[name]
-    y = jax.lax.conv_transpose(
-        h, p["kernel"].astype(jnp.bfloat16),
-        strides=tuple(int(s) for s in stride), padding="SAME",
-        dimension_numbers=_DN, transpose_kernel=False,
+    if tuple(int(s) for s in stride) != (2, 2, 2):
+        y = jax.lax.conv_transpose(
+            h, p["kernel"].astype(jnp.bfloat16),
+            strides=tuple(int(s) for s in stride), padding="SAME",
+            dimension_numbers=_DN, transpose_kernel=False,
+        )
+        return y + p["bias"].astype(jnp.bfloat16)
+    b, X, Y, Z, C = h.shape
+    xd = jnp.zeros((b, 2 * X, 2 * Y, 2 * Z, C), jnp.bfloat16)
+    xd = xd.at[:, 1::2, 1::2, 1::2, :].set(h.astype(jnp.bfloat16))
+    zeros = jnp.zeros((p["kernel"].shape[-1],), jnp.float32)
+    return conv3x3x3_ln_gelu(
+        xd, p["kernel"], p["bias"], zeros, zeros,
+        interpret=interpret, epilogue="bias",
     )
-    return y + p["bias"].astype(jnp.bfloat16)
 
 
 def unet_apply_packed(model: UNet3D, params, x, interpret: bool = None):
@@ -91,7 +105,7 @@ def unet_apply_packed(model: UNet3D, params, x, interpret: bool = None):
             skips.append(h)
             h = _down(params, f"Conv_{i}", h, model.strides[i])
     for k, i in enumerate(reversed(range(depth - 1))):
-        h = _up(params, f"ConvTranspose_{k}", h, model.strides[i])
+        h = _up(params, f"ConvTranspose_{k}", h, model.strides[i], interpret)
         h = jnp.concatenate([h, skips[i].astype(jnp.bfloat16)], axis=-1)
         h = _block(params, f"ConvBlock_{depth + k}", h, interpret)
     hp = params["head"]

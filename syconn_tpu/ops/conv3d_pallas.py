@@ -66,15 +66,19 @@ def pallas_convs_enabled() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def conv3x3x3_ln_gelu(x, w, b, ln_scale, ln_bias, interpret=False):
+@partial(jax.jit, static_argnames=("interpret", "epilogue"))
+def conv3x3x3_ln_gelu(x, w, b, ln_scale, ln_bias, interpret=False,
+                      epilogue="ln_gelu"):
     """y = GELU(LayerNorm(Conv3D_same_3x3x3(x, w) + b)).
 
     Args:
         x: (B, X, Y, Z, Cin) bfloat16.
         w: (3, 3, 3, Cin, Cout) conv kernel (flax ``Conv.kernel`` layout).
         b: (Cout,) conv bias.
-        ln_scale, ln_bias: (Cout,) LayerNorm params (f32).
+        ln_scale, ln_bias: (Cout,) LayerNorm params (f32); ignored for
+            ``epilogue="bias"``.
+        epilogue: "ln_gelu" (ConvBlock unit) or "bias" (linear conv — the
+            zero-dilated ConvTranspose formulation uses this).
     Returns:
         (B, X, Y, Z, Cout) bfloat16.
     """
@@ -124,11 +128,15 @@ def conv3x3x3_ln_gelu(x, w, b, ln_scale, ln_bias, interpret=False):
         # to bf16, add the bf16 bias IN bf16 (nn.Conv promotes bias to its
         # compute dtype), then LayerNorm in f32 + GELU (flax LN: eps 1e-6,
         # E[x^2] variance)
-        h = (acc.astype(jnp.bfloat16) + b_ref[...]).astype(jnp.float32)
-        mu = jnp.mean(h, axis=-1, keepdims=True)
-        var = jnp.mean(h * h, axis=-1, keepdims=True) - mu * mu
-        y = (h - mu) * jax.lax.rsqrt(var + 1e-6) * g_ref[...] + bt_ref[...]
-        y = jax.nn.gelu(y).astype(jnp.bfloat16)
+        hb = acc.astype(jnp.bfloat16) + b_ref[...]
+        if epilogue == "bias":
+            y = hb
+        else:
+            h = hb.astype(jnp.float32)
+            mu = jnp.mean(h, axis=-1, keepdims=True)
+            var = jnp.mean(h * h, axis=-1, keepdims=True) - mu * mu
+            y = (h - mu) * jax.lax.rsqrt(var + 1e-6) * g_ref[...] + bt_ref[...]
+            y = jax.nn.gelu(y).astype(jnp.bfloat16)
         out_ref[...] = y.reshape(1, BX, BY, Zs, Cout)[:, :, :, :Z, :]
 
     flops = 2 * 27 * B * X * Y * Z * Cin * Cout
