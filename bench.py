@@ -79,7 +79,19 @@ def _device_peak_tflops(dev) -> float | None:
 
 
 def _tile_flops(pred, params, x) -> float | None:
-    """FLOPs of one compiled tile forward, from XLA's cost analysis."""
+    """FLOPs of one compiled tile forward. With the Pallas conv engine
+    active, XLA's cost analysis sees only the custom-call shells (near-zero
+    flops -> fake MFU), so the analytic conv count is used instead; it runs
+    ~20% above XLA's own count for the SAME graph (transpose-conv taps are
+    counted per output there), so the two are comparable but the analytic
+    number is the canonical per-output*27-taps accounting."""
+    if getattr(pred, "_use_pallas", False):
+        try:
+            from syconn_tpu.models.unet_engine import unet_flops
+
+            return unet_flops(pred.model, np.asarray(x).shape)
+        except Exception:
+            return None
     try:
         import jax.numpy as jnp
 

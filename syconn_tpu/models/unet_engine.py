@@ -127,3 +127,38 @@ def unet_apply_full(model: UNet3D, params, x, interpret: bool = None):
     lg = head.reshape(b, sx, sy, sz, model.n_classes, pvox)
     lg = jnp.moveaxis(lg, -2, -1)
     return depth_to_space(lg.reshape(b, sx, sy, sz, -1), tuple(model.patch))
+
+
+def unet_flops(model: UNet3D, in_shape) -> float:
+    """Analytic forward FLOPs for one (B, X, Y, Z) uint8 input: 2*27*S*
+    Cin*Cout per 3x3x3 conv (transpose convs at OUTPUT resolution — the
+    standard accounting XLA's cost analysis uses for the flax graph), the
+    1x1x1 head at 2*S*Cin*Cout. Used by bench.py when the Pallas engine is
+    active: XLA cost analysis reports 0 flops for custom calls, which
+    would fake a low MFU."""
+    B, X, Y, Z = (int(v) for v in in_shape[:4])
+    p = tuple(int(v) for v in model.patch)
+    feats = tuple(int(f) for f in model.features)
+    s = [X // p[0], Y // p[1], Z // p[2]]
+    pvox = p[0] * p[1] * p[2]
+    cin = pvox  # space_to_depth of the single raw channel
+    total = 0.0
+    sizes = []
+    for i, f in enumerate(feats):
+        S = B * s[0] * s[1] * s[2]
+        total += 2 * 27 * S * cin * f + 2 * 27 * S * f * f  # ConvBlock
+        sizes.append((tuple(s), f))
+        if i < len(feats) - 1:
+            st = tuple(int(v) for v in model.strides[i])
+            s = [s[0] // st[0], s[1] // st[1], s[2] // st[2]]
+            S2 = B * s[0] * s[1] * s[2]
+            total += 2 * 27 * S2 * f * feats[i + 1]  # strided down conv
+            cin = feats[i + 1]
+    for i in reversed(range(len(feats) - 1)):
+        up_shape, f = sizes[i]
+        S = B * up_shape[0] * up_shape[1] * up_shape[2]
+        total += 2 * 27 * S * feats[i + 1] * f          # transpose conv
+        total += 2 * 27 * S * (2 * f) * f + 2 * 27 * S * f * f  # ConvBlock
+    S = B * sizes[0][0][0] * sizes[0][0][1] * sizes[0][0][2]
+    total += 2 * S * feats[0] * (model.n_classes * pvox)  # head
+    return float(total)
