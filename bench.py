@@ -373,6 +373,11 @@ def _run() -> dict:
             # end-to-end is transfer-bound through the tunneled relay link
             "compute_only_mvox_per_s": (round(core_vox / comp_s / 1e6, 1)
                                         if comp_s else None),
+            # which conv lowering actually ran (receipt for the engine
+            # switch: ops/conv3d_pallas.py vs XLA Conv3D)
+            "conv_engine": (
+                "pallas" if getattr(rpred if rpred is not None else pred,
+                                    "_use_pallas", False) else "xla"),
             "model": "UNet3D organelles patchified (4,4,2)->(64,128,256) 4-class, bf16, fused threshold+bitpack readback",
             "baseline": "reference myelin dense prediction 11.34 MVx / 62 s on 2 GPUs",
         },

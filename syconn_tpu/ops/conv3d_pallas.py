@@ -91,13 +91,22 @@ def conv3x3x3_ln_gelu(x, w, b, ln_scale, ln_bias, interpret=False,
     # Zp = padded window extent with room for the +-1 z taps
     Zs = _ceil_to(Z, 16)
     Zp = Zs + 16
+    # lane-dim alignment: Mosaic requires HBM memref slices to be
+    # 128-aligned along the minor dim (v5e rejection: "Slice shape along
+    # dimension 4 must be aligned to tiling (128), but is 8" for the
+    # patchify stem's Cin=8). Pad Cin up to the lane tile — the MXU pads
+    # the contraction dim to 128 internally, so the extra zeros cost only
+    # window-DMA bytes, not FLOP time.
+    Cp = _ceil_to(Cin, 128)
     # SAME halo of 1 + z padding to Zp (zeros; rows >= Z+2 are garbage that
     # the epilogue never reads back into real rows — LN is per-position)
     xp = jnp.pad(
         x.astype(jnp.bfloat16),
-        ((0, 0), (1, 1), (1, 1), (1, Zp - Z - 1), (0, 0)),
+        ((0, 0), (1, 1), (1, 1), (1, Zp - Z - 1), (0, Cp - Cin)),
     )
     w = w.astype(jnp.bfloat16).reshape(27, Cin, Cout)
+    if Cp != Cin:
+        w = jnp.pad(w, ((0, 0), (0, Cp - Cin), (0, 0)))
     b = b.astype(jnp.bfloat16).reshape(1, Cout)
     ln_scale = ln_scale.astype(jnp.float32).reshape(1, Cout)
     ln_bias = ln_bias.astype(jnp.float32).reshape(1, Cout)
@@ -119,7 +128,7 @@ def conv3x3x3_ln_gelu(x, w, b, ln_scale, ln_bias, interpret=False,
             for dy in range(3):
                 sl_xy = win[dx : dx + BX, dy : dy + BY]
                 for dz in range(3):
-                    sl = sl_xy[:, :, dz : dz + Zs, :].reshape(M, Cin)
+                    sl = sl_xy[:, :, dz : dz + Zs, :].reshape(M, Cp)
                     acc = acc + jnp.dot(
                         sl, w_ref[dx * 9 + dy * 3 + dz],
                         preferred_element_type=jnp.float32,
@@ -157,7 +166,7 @@ def conv3x3x3_ln_gelu(x, w, b, ln_scale, ln_bias, interpret=False,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((BX + 2, BY + 2, Zp, Cin), jnp.bfloat16),
+            pltpu.VMEM((BX + 2, BY + 2, Zp, Cp), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
