@@ -299,7 +299,48 @@ def extract_spinehead_volume(
                 max_id = int(lab[tuple(coords_all[np.argmin(d)])])
             else:
                 max_id = int(ids[np.argmax(cnts)])
-        n_vox = int(np.sum(lab == max_id))
+        comp = np.argwhere(lab == max_id)
+        # The watershed basin of a head seed can swallow shaft voxels when
+        # the head is small relative to the dendrite caliber (the basin is
+        # the seed's full catchment). Refine: keep only basin voxels whose
+        # nearest labeled mesh vertices vote head, then the connected piece
+        # at/nearest the synapse — a no-op for a clean bulbous head, a big
+        # overshoot cut for small heads on thick dendrites.
+        vox_lab = colorcode_vertices(
+            comp * ds[None], verts_bb - offset[None], semseg_bb,
+            k=min(k_nn, len(verts_bb)), return_color=False,
+        )
+        head_sel = vox_lab == 1
+        if head_sel.any():
+            refined = np.zeros(mask.shape, bool)
+            refined[tuple(comp[head_sel].T)] = True
+            rlab, rnb = ndimage.label(refined)
+            if rnb > 1:
+                rcoords = np.argwhere(rlab > 0)
+                d = np.linalg.norm(
+                    (rcoords - cl[None]) * (scaling * ds)[None], axis=1
+                )
+                keep = int(rlab[tuple(rcoords[np.argmin(d)])])
+                keep_vox = rcoords[np.asarray(rlab[tuple(rcoords.T)]) == keep]
+            else:
+                keep_vox = comp[head_sel]
+        else:
+            keep_vox = comp
+        # Inscribed-ball cap: the head is the ball at the medial-axis (EDT)
+        # peak nearest the synapse — exact for a bulbous head (golden test),
+        # and bounds the error at the shaft caliber when label noise lets
+        # the region leak down the dendrite (the voxels are isotropic after
+        # the ``ds`` zoom, so plain voxel EDT/distances are metric here).
+        in_keep = np.zeros(mask.shape, bool)
+        in_keep[tuple(keep_vox.T)] = True
+        cand = maxima[in_keep[tuple(maxima.T)]]
+        if len(cand) == 0:
+            d_edt = dist[tuple(keep_vox.T)]
+            cand = keep_vox[d_edt >= d_edt.max() - 0.5]
+        m_star = cand[np.argmin(np.linalg.norm(cand - cl[None], axis=1))]
+        r_h = float(dist[tuple(m_star)])
+        in_ball = np.linalg.norm(keep_vox - m_star[None], axis=1) <= r_h + 0.5
+        n_vox = int(in_ball.sum())
         out[int(syn_id)] = n_vox * float(np.prod(scaling * ds)) / 1e9  # µm³
     sso.attr_dict["spinehead_vol"] = out
     return out
