@@ -60,6 +60,10 @@ def run_quality_pipeline(
          # mm-scale neurites and would majority-vote every sparse node
          # property (myelin stretches, axon/dendrite transitions) away
          "--kv", "compartments.dist_axoness_averaging=500",
+         # spiness vote neighborhood scaled to the toy world's spine heads
+         # (~10-30 mesh vertices each): the reference default k=50 dilutes
+         # a head's vote with shaft vertices at this scale
+         "--kv", "spines.semseg2coords_spines.k=20",
          "--overwrite"],
         capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO,
     )

@@ -101,8 +101,13 @@ def test_compartment_labels(quality_runs):
 
 def test_spinehead_volumes(quality_runs):
     """The spinehead-volume pipeline must FIRE on spine synapses (no skip:
-    VERDICT r2 weak #3) and land within 30x of the GT head volumes in
-    µm³ (the pipeline stores µm³; GT records voxels)."""
+    VERDICT r2 weak #3) and land within 8x of the GT head volumes in
+    µm³ (the pipeline stores µm³; GT records voxels). The 8x bound (was
+    30x) reflects the inscribed-ball measurement (r4): measured per-seed
+    medians 0.93-3.9x. Firing is asserted per-suite (>=4 volumes across
+    the worlds), not per-synapse: the toy worlds' spine heads are at the
+    resolution floor (radius 2-3 voxels) and the spiness point model
+    labels only the cleanest of them head at the synapse coordinate."""
     with_spines = [s for s, r in quality_runs.items()
                    if r["spinehead"]["n_spine_gt"] > 0]
     assert with_spines, "no held-out world built spine synapses"
@@ -111,9 +116,11 @@ def test_spinehead_volumes(quality_runs):
     # the spiness model must label head synapses in most worlds
     assert len(fired) * 2 >= len(with_spines), (
         f"spinehead volumes only on {fired} of {with_spines}")
+    n_total = sum(quality_runs[s]["spinehead"]["n_vols"] for s in fired)
+    assert n_total >= 4, f"only {n_total} spinehead volumes across the suite"
     for s in fired:
         ratio = quality_runs[s]["spinehead"]["med_ratio"]
-        assert 1 / 30 < ratio < 30, f"seed {s}: med pred/GT ratio {ratio:.2f}"
+        assert 1 / 8 < ratio < 8, f"seed {s}: med pred/GT ratio {ratio:.2f}"
 
 
 def test_myelin_on_axons(quality_runs):
