@@ -112,21 +112,45 @@ def conv3x3x3_ln_gelu(x, w, b, ln_scale, ln_bias, interpret=False,
     ln_bias = ln_bias.astype(jnp.float32).reshape(1, Cout)
     M = BX * BY * Zs
 
+    nx = X // BX
+    ny = Y // BY
+    nsteps = B * nx * ny
+
     def kernel(x_hbm, w_ref, b_ref, g_ref, bt_ref, out_ref, win, sem):
         bb = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
-        cp = pltpu.make_async_copy(
-            x_hbm.at[bb, pl.ds(i * BX, BX + 2), pl.ds(j * BY, BY + 2), :, :],
-            win,
-            sem,
-        )
-        cp.start()
-        cp.wait()
+        # TPU grids run sequentially on a core and scratch persists across
+        # steps: double-buffer the halo-window DMA so step k's fetch
+        # overlaps step k-1's 27 matmuls (the L0 window is ~3 MB — serial
+        # start();wait() left the MXU idle for the whole transfer).
+        k = (bb * nx + i) * ny + j
+
+        def win_dma(slot, kk):
+            b2 = kk // (nx * ny)
+            i2 = (kk // ny) % nx
+            j2 = kk % ny
+            return pltpu.make_async_copy(
+                x_hbm.at[b2, pl.ds(i2 * BX, BX + 2),
+                         pl.ds(j2 * BY, BY + 2), :, :],
+                win.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(k == 0)
+        def _():
+            win_dma(0, 0).start()
+
+        @pl.when(k + 1 < nsteps)
+        def _():
+            win_dma((k + 1) % 2, k + 1).start()
+
+        win_dma(k % 2, k).wait()
+        wk = win[k % 2]
         acc = jnp.zeros((M, Cout), jnp.float32)
         for dx in range(3):
             for dy in range(3):
-                sl_xy = win[dx : dx + BX, dy : dy + BY]
+                sl_xy = wk[dx : dx + BX, dy : dy + BY]
                 for dz in range(3):
                     sl = sl_xy[:, :, dz : dz + Zs, :].reshape(M, Cp)
                     acc = acc + jnp.dot(
@@ -166,13 +190,19 @@ def conv3x3x3_ln_gelu(x, w, b, ln_scale, ln_bias, interpret=False,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((BX + 2, BY + 2, Zp, Cp), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, BX + 2, BY + 2, Zp, Cp), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=x.size * 2 + B * X * Y * Z * Cout * 2,
             transcendentals=B * X * Y * Z * Cout,
+        ),
+        # the double-buffered window (2 x ~3.3 MB at Zp=Cp=128) plus the
+        # f32 accumulator overflows Mosaic's default 16 MB scoped-VMEM
+        # budget; v5e has 128 MB VMEM per core — raise the cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(xp, w, b, ln_scale, ln_bias)
