@@ -74,8 +74,18 @@ def dense_heldout_iou(world, tasks=("organelles",)) -> dict:
         else:
             gt = (world.get("myelin", np.zeros(world["raw"].shape)) > 0).astype(np.int32)
             names = {1: "myelin"}
+            # the model's training target is the mag-pooled sheath DILATED
+            # by 2 (cnn/toy.py: the deployment consumer probes skeleton
+            # nodes, so the map is trained to cover stretch interiors);
+            # score against the same target definition — the thin-sheath
+            # IoU would penalize exactly the intended over-coverage.
+            # Node-level deployment quality is QUALITY_*.json myelin recall.
         if mag != 1:
             gt = _pool(gt, mag, "any")
+        if task == "myelin":
+            from scipy import ndimage as _ndi
+
+            gt = _ndi.binary_dilation(gt > 0, iterations=2).astype(np.int32)
         for c, nm in names.items():
             inter = int(((lab == c) & (gt == c)).sum())
             union = int(((lab == c) | (gt == c)).sum())
