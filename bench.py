@@ -132,6 +132,86 @@ def _split_timings(pred, x, reps: int = 5, measure_read: bool = True):
     )
 
 
+def _bench_kernels(run_with_deadline) -> dict:
+    """Device-resident voxel-kernel rates (VERDICT r4 #5: the contact/props
+    kernel numbers must come from a driver-captured receipt, not a commit
+    message). Measures the two production contact paths and the resident
+    props scan on a synthetic blocky segmentation (32x32x16 label blocks,
+    ~9% boundary voxels — denser than real tissue, i.e. conservative)."""
+    import jax
+    import jax.numpy as jnp
+
+    from syconn_tpu.ops.contacts_jax import CsDispatcher, ResidentCsDetector
+    from syconn_tpu.ops.props_jax import ResidentPropsScanner
+
+    rngk = np.random.default_rng(7)
+    core = (256, 256, 128)
+    block = (32, 32, 16)
+    lab = rngk.integers(
+        1, 5000,
+        size=tuple(core[i] // block[i] for i in range(3)), dtype=np.int32)
+    seg = np.repeat(np.repeat(np.repeat(
+        lab, block[0], 0), block[1], 1), block[2], 2)
+    vox = float(np.prod(core))
+    out: dict = {"volume_mvox": round(vox / 1e6, 1),
+                 "seg": "random 32x32x16 label blocks"}
+
+    def _med(rates):
+        return round(float(np.median(rates)), 2) if rates else None
+
+    # production resident path: chunks sliced in HBM, sparse readback
+    def _resident_cs():
+        seg_dev = jax.device_put(jnp.asarray(seg))
+        det = ResidentCsDetector(seg_dev, chunk=(128, 128, 64))
+        cixs = [(x, y, z) for x in range(det.grid[0])
+                for y in range(det.grid[1]) for z in range(det.grid[2])]
+        det.fetch(det.dispatch(cixs[0]))  # compile
+        rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for h in [det.dispatch(c) for c in cixs]:
+                det.fetch(h)
+            rates.append(vox / (time.perf_counter() - t0) / 1e6)
+        return rates
+
+    ok, r = run_with_deadline(_resident_cs, 600.0)
+    out["contact_resident_xla_mvox_per_s"] = _med(r) if ok else None
+
+    # streaming path: Pallas Mosaic kernel incl. host candidate prep +
+    # dense fetch (what CsDispatcher does per extraction chunk)
+    def _pallas_cs():
+        h = (6, 6, 3)
+        seg_h = np.pad(seg, [(h[i], h[i]) for i in range(3)])
+        disp = CsDispatcher(kernel="pallas")
+        disp.fetch(disp.dispatch(seg_h[:64, :64, :32]))  # compile
+        rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            disp.fetch(disp.dispatch(seg_h))
+            rates.append(vox / (time.perf_counter() - t0) / 1e6)
+        return rates
+
+    ok, r = run_with_deadline(_pallas_cs, 600.0)
+    out["contact_pallas_e2e_mvox_per_s"] = _med(r) if ok else None
+
+    # resident per-chunk object-property scan (SD generation's hot scan)
+    def _props():
+        seg_dev = jax.device_put(jnp.asarray(seg))
+        sc = ResidentPropsScanner(seg_dev, chunk=(256, 256, 64))
+        sc.props((0, 0, 0), max_ids=4096)  # compile
+        rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for cz in range(2):
+                sc.props((0, 0, cz), max_ids=4096)
+            rates.append(vox / (time.perf_counter() - t0) / 1e6)
+        return rates
+
+    ok, r = run_with_deadline(_props, 600.0)
+    out["props_resident_mvox_per_s"] = _med(r) if ok else None
+    return out
+
+
 def _run() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from syconn_tpu.utils import linkcfg
@@ -246,6 +326,14 @@ def _run() -> dict:
                 break  # mid-run wedge: keep whatever iterations completed
             res_rates.append(float(np.prod(shape)) / (time.perf_counter() - t0) / 1e6)
         res_rates.sort()
+
+    # ------------------------------------------------- voxel-kernel rates
+    kernels = None
+    if on_tpu and res_rates:
+        try:
+            kernels = _bench_kernels(run_with_deadline)
+        except Exception as e:  # receipt must survive a kernel-bench crash
+            kernels = {"error": repr(e)}
 
     # d2h drain (disk durability) — timed ONCE, after the last timed
     # iteration so abandoned readback threads cannot skew resident rates;
@@ -374,10 +462,21 @@ def _run() -> dict:
             "compute_only_mvox_per_s": (round(core_vox / comp_s / 1e6, 1)
                                         if comp_s else None),
             # which conv lowering actually ran (receipt for the engine
-            # switch: ops/conv3d_pallas.py vs XLA Conv3D)
+            # switch: ops/conv3d_pallas.py vs XLA Conv3D). Recorded PER
+            # MEASUREMENT: resident and streaming use separate predictor
+            # instances and either can hit _pallas_fallback() mid-run
+            # (ADVICE r4). Headline string = the headline measurement's.
             "conv_engine": (
                 "pallas" if getattr(rpred if rpred is not None else pred,
                                     "_use_pallas", False) else "xla"),
+            "conv_engine_by_mode": {
+                "resident": (
+                    ("pallas" if getattr(rpred, "_use_pallas", False)
+                     else "xla") if rpred is not None else None),
+                "streaming": ("pallas" if getattr(pred, "_use_pallas", False)
+                              else "xla"),
+            },
+            "kernels": kernels,
             "model": "UNet3D organelles patchified (4,4,2)->(64,128,256) 4-class, bf16, fused threshold+bitpack readback",
             "baseline": "reference myelin dense prediction 11.34 MVx / 62 s on 2 GPUs",
         },

@@ -8,6 +8,10 @@ setup(
     package_data={
         "syconn_tpu.handler": ["default_config.yml"],
         "syconn_tpu.csrc": ["*.cpp"],
+        "syconn_tpu.analysis": ["viewer.html"],
+        "syconn_tpu.models": ["pretrained/*/arch.json",
+                              "pretrained/*/params.msgpack",
+                              "pretrained/*/meta.json"],
     },
     python_requires=">=3.10",
     install_requires=[
@@ -25,7 +29,7 @@ setup(
     entry_points={
         "console_scripts": [
             "syconn.server=syconn_tpu.analysis.server:main",
-            "syconn.example=examples.start:main",
+            "syconn.example=syconn_tpu.examples.start:main",
         ]
     },
 )

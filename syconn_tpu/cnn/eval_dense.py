@@ -64,6 +64,15 @@ def main():
         "shape": list(args.shape), "n_cells": args.n_cells,
         "driver": "python -m syconn_tpu.cnn.eval_dense",
         "models": "syconn_tpu/models/pretrained/{organelles,myelin}",
+        # the myelin score is IoU against the *training-target*
+        # definition (GT sheath mask pooled to deployment mag, then
+        # dilated by 2 — see train_pretrained.dense_heldout_iou); record
+        # that here so the number is interpretable without reading code
+        "gt_definition": {
+            "organelles_*_iou": "argmax vs GT label at deployment mag",
+            "myelin_myelin_iou": "binary IoU vs dilated(2) pooled GT "
+                                 "sheath mask (training-target def.)",
+        },
     }
     print("MEAN:", json.dumps(mean), flush=True)
     if args.out:

@@ -101,6 +101,10 @@ def train_toy_dense_models(
             lab[w["sym"] > 0] = 2
             vols.append(lab)
         label_vols["syntype"] = vols
+    for co in ("er", "golgi"):  # binary organelle tasks (reference:
+        # cnn/cnn_er.py trains these the same way as the mi/vc/sj nets)
+        if co in tasks:
+            label_vols[co] = [(w[co] > 0).astype(np.int32) for w in worlds]
 
     accs = {}
     for task in tasks:

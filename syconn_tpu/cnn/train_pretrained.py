@@ -71,6 +71,9 @@ def dense_heldout_iou(world, tasks=("organelles",)) -> dict:
             gt[world["vc"] > 0] = 2
             gt[world["sj"] > 0] = 3
             names = {1: "mi", 2: "vc", 3: "sj"}
+        elif task in ("er", "golgi"):
+            gt = (world[task] > 0).astype(np.int32)
+            names = {1: task}
         else:
             gt = (world.get("myelin", np.zeros(world["raw"].shape)) > 0).astype(np.int32)
             names = {1: "myelin"}
@@ -183,7 +186,8 @@ def main():
         )
         print("dense train metrics:", dense_acc, flush=True)
         iou = dense_heldout_iou(held, tasks=tuple(
-            t for t in args.dense_tasks if t in ("organelles", "myelin")))
+            t for t in args.dense_tasks
+            if t in ("organelles", "myelin", "er", "golgi")))
         print("dense held-out IoU:", iou, flush=True)
 
     extra = None
@@ -260,6 +264,8 @@ def main():
             "organelles": cfg.mpath_organelles,
             "myelin": cfg.mpath_myelin,
             "syntype": cfg.mpath_syntype,
+            "er": cfg.mpath_er,
+            "golgi": cfg.mpath_golgi,
             "celltype_pts": cfg.mpath_celltype_pts,
             "glia_pts": cfg.mpath_glia_pts,
             "compartment_pts": cfg.mpath_compartment_pts,

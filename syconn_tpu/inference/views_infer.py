@@ -39,6 +39,21 @@ def views_to_model_input(views: np.ndarray) -> np.ndarray:
     return np.moveaxis(np.asarray(views), 2, -1)
 
 
+def _get_view_model(mpath: str, builder):
+    """View-CMN weights loader: refuses seed initialization by default.
+
+    A view model with random weights predicts plausible-looking noise
+    (reference flagship path ssh:1670 celltype_of_sso_nocache), so unless
+    ``views.allow_untrained_models`` is set, a missing model is an error —
+    the documented default for these tasks is the point-model path
+    (``use_point_models: true``)."""
+    from ..models.io import get_or_init_model
+
+    allow = bool(global_params.config["views"].get(
+        "allow_untrained_models", False))
+    return get_or_init_model(mpath, builder, require_trained=not allow)
+
+
 def _batched_apply(model, params, x: np.ndarray, batch: int = 8):
     @jax.jit
     def fwd(p, xx):
@@ -59,14 +74,13 @@ def celltype_of_sso_views(ssv, pred_key: str = "celltype_cnn_e3", save: bool = T
     """Multi-view celltype (reference: ssh:1670): render sampled views,
     average CMN logits over locations, store prediction + certainty."""
     from ..models.cmn import MultiViewCMN
-    from ..models.io import get_or_init_model
     from ..render.views import render_sampled_sso
 
     cfg = global_params.config
     views, _ = render_sampled_sso(ssv, ws=(128, 64), nb_views=2)
     if len(views) == 0:
         return None
-    model, params = get_or_init_model(
+    model, params = _get_view_model(
         cfg.mpath_celltype_e3,
         lambda: (MultiViewCMN(n_classes=8, widths=(16, 32, 64)), (1, 2, 128, 64, views.shape[2])),
     )
@@ -84,7 +98,6 @@ def celltype_of_sso_views(ssv, pred_key: str = "celltype_cnn_e3", save: bool = T
 def view_embedding_of_sso(ssv, pred_key: str = "latent_morph", save: bool = True):
     """tCMN morphology embedding from views (reference: ssh:1758)."""
     from ..models.cmn import TripletCMN
-    from ..models.io import get_or_init_model
     from ..render.views import render_sampled_sso
 
     cfg = global_params.config
@@ -92,7 +105,7 @@ def view_embedding_of_sso(ssv, pred_key: str = "latent_morph", save: bool = True
     if len(views) == 0:
         return None
     ndim = int(cfg["tcmn"]["ndim_embedding"])
-    model, params = get_or_init_model(
+    model, params = _get_view_model(
         cfg.mpath_tnet,
         lambda: (TripletCMN(embed_dim=ndim, widths=(16, 32, 64)), (1, 2, 128, 64, views.shape[2])),
     )
@@ -119,7 +132,6 @@ def semseg_of_sso_views(
     (reference: ssh:1820 + rendering.py index views + ssh:1527
     ``semseg2mesh``)."""
     from ..models.cmn import ViewSemSegNet
-    from ..models.io import get_or_init_model
     from ..render.views import (
         generate_rendering_locs,
         render_sso_coords,
@@ -141,7 +153,7 @@ def semseg_of_sso_views(
     )
     if mpath is None:
         mpath = cfg.mpath_axonsem
-    model, params = get_or_init_model(
+    model, params = _get_view_model(
         mpath, lambda: (ViewSemSegNet(n_classes=n_classes, widths=(16, 32, 64)), (1, ws[0], ws[1], views.shape[2])),
     )
     # flatten (L, V) into the batch; channels last
@@ -195,14 +207,13 @@ def axoness_views_of_sso(
 
     Returns (preds (L,), locations (L, 3) nm)."""
     from ..models.cmn import MultiViewCMN
-    from ..models.io import get_or_init_model
     from ..render.views import render_sampled_sso
 
     cfg = global_params.config
     views, locs = render_sampled_sso(ssv, ws=(128, 64), nb_views=2)
     if len(views) == 0:
         return np.zeros(0, np.int64), np.zeros((0, 3), np.float32)
-    model, params = get_or_init_model(
+    model, params = _get_view_model(
         cfg.mpath_axoness_views,
         lambda: (MultiViewCMN(n_classes=3, widths=(16, 32, 64)), (1, 2, 128, 64, views.shape[2])),
     )
@@ -289,14 +300,13 @@ def average_node_axoness_views(
 def gliapred_sso_views(ssv, save: bool = True) -> float:
     """Per-cell glia probability from views (reference: ssh:1495)."""
     from ..models.cmn import MultiViewCMN
-    from ..models.io import get_or_init_model
     from ..render.views import render_sampled_sso
 
     cfg = global_params.config
     views, _ = render_sampled_sso(ssv, ws=(128, 64), nb_views=2)
     if len(views) == 0:
         return 0.0
-    model, params = get_or_init_model(
+    model, params = _get_view_model(
         cfg.mpath_glia_e3,
         lambda: (MultiViewCMN(n_classes=2, widths=(16, 32, 64)), (1, 2, 128, 64, views.shape[2])),
     )

@@ -146,7 +146,8 @@ def packaged_model_path(name: str) -> str:
     return os.path.join(os.path.dirname(os.path.abspath(__file__)), "pretrained", name)
 
 
-def get_or_init_model(path: str, builder: Callable[[], Tuple[Any, tuple]], seed: int = 0):
+def get_or_init_model(path: str, builder: Callable[[], Tuple[Any, tuple]], seed: int = 0,
+                      require_trained: bool = False):
     """Load a model dir, or initialize one (fixed seed) and persist it.
 
     Resolution order: working-dir model -> packaged pretrained weights of
@@ -155,12 +156,23 @@ def get_or_init_model(path: str, builder: Callable[[], Tuple[Any, tuple]], seed:
     ``(model, example_input_shape)``; freshly initialized models let the
     pipeline run end-to-end before task-specific training has produced
     real weights.
+
+    ``require_trained``: raise instead of seed-initializing — callers whose
+    output would be silent noise under random weights (the view-CMN paths,
+    VERDICT r4 #8) set this so a missing model is a loud configuration
+    error, not a plausible-looking garbage prediction.
     """
     if model_exists(path):
         return load_model(path)
     packaged = packaged_model_path(os.path.basename(os.path.normpath(path)))
     if model_exists(packaged):
         return load_model(packaged)
+    if require_trained:
+        raise FileNotFoundError(
+            f"no trained weights at '{path}' (and no packaged fallback at "
+            f"'{packaged}'); this inference path refuses seed-initialized "
+            f"weights. Train the model (syconn_tpu.cnn.*) or, for smoke "
+            f"runs only, set views.allow_untrained_models: true")
     model, example_shape = builder()
     params = init_model_params(model, example_shape, seed=seed)
     save_model(path, model, params, extra_meta={"initialized_only": True, "seed": seed})

@@ -86,6 +86,9 @@ def test_start_py_views_and_all_organelles(tmp_path):
             "--n_cells", "3",
             "--overwrite",
             "--use_views",
+            # plumbing smoke: the view routes run with whatever weights
+            # resolve; view-CMN inference otherwise refuses seed init
+            "--kv", "views.allow_untrained_models=true",
             "--organelles", "mi,vc,er,golgi",
             "--prior_astrocyte_removal",
         ],

@@ -23,6 +23,9 @@ def view_world(working_dir):
     generate_default_conf(
         working_dir, scaling=(10, 10, 20),
         key_value_pairs=[("min_cc_size_ssv", 200), ("use_point_models", False),
+                         # plumbing test: exercises the view routes, not
+                         # model quality — allow seed-initialized weights
+                         ("views", {"allow_untrained_models": True}),
                          ("skeleton", {"kimimaro_skelgen": {"dust_threshold": 100},
                                        "kimimaro_merge": {"dust_threshold": 100, "tick_threshold": 200}})],
         force_overwrite=True,
