@@ -174,7 +174,7 @@ def _bench_kernels(run_with_deadline) -> dict:
             rates.append(vox / (time.perf_counter() - t0) / 1e6)
         return rates
 
-    ok, r = run_with_deadline(_resident_cs, 600.0)
+    ok, r = run_with_deadline(_resident_cs, 300.0)
     out["contact_resident_xla_mvox_per_s"] = _med(r) if ok else None
 
     # streaming path: Pallas Mosaic kernel incl. host candidate prep +
@@ -191,7 +191,7 @@ def _bench_kernels(run_with_deadline) -> dict:
             rates.append(vox / (time.perf_counter() - t0) / 1e6)
         return rates
 
-    ok, r = run_with_deadline(_pallas_cs, 600.0)
+    ok, r = run_with_deadline(_pallas_cs, 300.0)
     out["contact_pallas_e2e_mvox_per_s"] = _med(r) if ok else None
 
     # resident per-chunk object-property scan (SD generation's hot scan)
@@ -207,7 +207,7 @@ def _bench_kernels(run_with_deadline) -> dict:
             rates.append(vox / (time.perf_counter() - t0) / 1e6)
         return rates
 
-    ok, r = run_with_deadline(_props, 600.0)
+    ok, r = run_with_deadline(_props, 300.0)
     out["props_resident_mvox_per_s"] = _med(r) if ok else None
     return out
 
