@@ -64,11 +64,14 @@ def _down(params, name, h, stride):
 
 
 def _up(params, name, h, stride, interpret):
-    """flax ConvTranspose (SAME, k=3, s=2) == a SAME 3x3x3 conv over the
-    2x zero-stuffed volume with the input at ODD indices (the (2,1)
-    transpose padding absorbed into the stuffing offset; verified exact
-    vs nn.ConvTranspose) — which the fused Pallas conv kernel runs with a
-    linear epilogue. Non-2 strides fall back to lax.conv_transpose."""
+    """flax ConvTranspose (SAME, k=3, s=2) via the subpixel-phase Pallas
+    kernel (ops/conv3d_pallas.conv_transpose2x_bias): each output parity
+    phase is a small conv over the half-res input with its own tap subset,
+    so the MXU does exactly the transpose conv's FLOPs (the r4 engine's
+    zero-stuffed formulation did 8x that, 7/8 of it on stuffed zeros).
+    Non-2 strides fall back to lax.conv_transpose."""
+    from ..ops.conv3d_pallas import conv_transpose2x_bias
+
     p = params[name]
     if tuple(int(s) for s in stride) != (2, 2, 2):
         y = jax.lax.conv_transpose(
@@ -77,14 +80,8 @@ def _up(params, name, h, stride, interpret):
             dimension_numbers=_DN, transpose_kernel=False,
         )
         return y + p["bias"].astype(jnp.bfloat16)
-    b, X, Y, Z, C = h.shape
-    xd = jnp.zeros((b, 2 * X, 2 * Y, 2 * Z, C), jnp.bfloat16)
-    xd = xd.at[:, 1::2, 1::2, 1::2, :].set(h.astype(jnp.bfloat16))
-    zeros = jnp.zeros((p["kernel"].shape[-1],), jnp.float32)
-    return conv3x3x3_ln_gelu(
-        xd, p["kernel"], p["bias"], zeros, zeros,
-        interpret=interpret, epilogue="bias",
-    )
+    return conv_transpose2x_bias(h, p["kernel"], p["bias"],
+                                 interpret=interpret)
 
 
 def unet_apply_packed(model: UNet3D, params, x, interpret: bool = None):
@@ -104,11 +101,28 @@ def unet_apply_packed(model: UNet3D, params, x, interpret: bool = None):
         if i < depth - 1:
             skips.append(h)
             h = _down(params, f"Conv_{i}", h, model.strides[i])
+    hp = params["head"]
     for k, i in enumerate(reversed(range(depth - 1))):
         h = _up(params, f"ConvTranspose_{k}", h, model.strides[i], interpret)
         h = jnp.concatenate([h, skips[i].astype(jnp.bfloat16)], axis=-1)
-        h = _block(params, f"ConvBlock_{depth + k}", h, interpret)
-    hp = params["head"]
+        name = f"ConvBlock_{depth + k}"
+        if i == 0:
+            # final decoder block: fuse the 1x1x1 head into the second
+            # conv's epilogue — the full-res activation never leaves VMEM
+            p = params[name]
+            h = conv3x3x3_ln_gelu(
+                h, p["Conv_0"]["kernel"], p["Conv_0"]["bias"],
+                p["LayerNorm_0"]["scale"], p["LayerNorm_0"]["bias"],
+                interpret=interpret,
+            )
+            return conv3x3x3_ln_gelu(
+                h, p["Conv_1"]["kernel"], p["Conv_1"]["bias"],
+                p["LayerNorm_1"]["scale"], p["LayerNorm_1"]["bias"],
+                interpret=interpret,
+                head_w=hp["kernel"], head_b=hp["bias"],
+            )
+        h = _block(params, name, h, interpret)
+    # depth == 1 (no decoder): head on XLA
     hf = h.astype(jnp.float32)
     head = jax.lax.conv_general_dilated(
         hf, hp["kernel"].astype(jnp.float32), window_strides=(1, 1, 1),
@@ -131,10 +145,12 @@ def unet_apply_full(model: UNet3D, params, x, interpret: bool = None):
 
 def unet_flops(model: UNet3D, in_shape) -> float:
     """Analytic forward FLOPs for one (B, X, Y, Z) uint8 input: 2*27*S*
-    Cin*Cout per 3x3x3 conv (transpose convs at OUTPUT resolution — the
-    standard accounting XLA's cost analysis uses for the flax graph), the
-    1x1x1 head at 2*S*Cin*Cout. Used by bench.py when the Pallas engine is
-    active: XLA cost analysis reports 0 flops for custom calls, which
+    Cin*Cout per 3x3x3 conv, the 1x1x1 head at 2*S*Cin*Cout. Transpose
+    convs count at INPUT (half) resolution — 27 taps over S/8 positions —
+    which is exactly what the subpixel-phase kernel executes; the r4
+    accounting credited the zero-stuffed formulation's 8x work as
+    "achieved" FLOPs (ADVICE r4). Used by bench.py when the Pallas engine
+    is active: XLA cost analysis reports 0 flops for custom calls, which
     would fake a low MFU."""
     B, X, Y, Z = (int(v) for v in in_shape[:4])
     p = tuple(int(v) for v in model.patch)
@@ -157,7 +173,9 @@ def unet_flops(model: UNet3D, in_shape) -> float:
     for i in reversed(range(len(feats) - 1)):
         up_shape, f = sizes[i]
         S = B * up_shape[0] * up_shape[1] * up_shape[2]
-        total += 2 * 27 * S * feats[i + 1] * f          # transpose conv
+        sp = int(np.prod(model.strides[i]))
+        total += 2 * 27 * (S // sp) * feats[i + 1] * f  # transpose conv
+        # (subpixel phases: 27 taps spread over the sp output parities)
         total += 2 * 27 * S * (2 * f) * f + 2 * 27 * S * f * f  # ConvBlock
     S = B * sizes[0][0][0] * sizes[0][0][1] * sizes[0][0][2]
     total += 2 * S * feats[0] * (model.n_classes * pvox)  # head

@@ -40,7 +40,8 @@ setup_jax()
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["conv3x3x3_ln_gelu", "pallas_convs_enabled"]
+__all__ = ["conv3x3x3_ln_gelu", "conv_transpose2x_bias",
+           "pallas_convs_enabled"]
 
 
 def _ceil_to(v: int, m: int) -> int:
@@ -68,7 +69,7 @@ def pallas_convs_enabled() -> bool:
 
 @partial(jax.jit, static_argnames=("interpret", "epilogue"))
 def conv3x3x3_ln_gelu(x, w, b, ln_scale, ln_bias, interpret=False,
-                      epilogue="ln_gelu"):
+                      epilogue="ln_gelu", head_w=None, head_b=None):
     """y = GELU(LayerNorm(Conv3D_same_3x3x3(x, w) + b)).
 
     Args:
@@ -79,18 +80,21 @@ def conv3x3x3_ln_gelu(x, w, b, ln_scale, ln_bias, interpret=False,
             ``epilogue="bias"``.
         epilogue: "ln_gelu" (ConvBlock unit) or "bias" (linear conv — the
             zero-dilated ConvTranspose formulation uses this).
+        head_w, head_b: optional fused 1x1x1 head ((Cout, Nh) f32 matmul +
+            bias applied to the GELU output in f32, the engine's final
+            layer) — the returned array is then the (B, X, Y, Z, Nh) f32
+            logits and the intermediate activation never touches HBM.
     Returns:
-        (B, X, Y, Z, Cout) bfloat16.
+        (B, X, Y, Z, Cout) bfloat16, or (B, X, Y, Z, Nh) float32 with a
+        fused head.
     """
     B, X, Y, Z, Cin = x.shape
     Cout = w.shape[-1]
     BX = _pick_block(X)
     BY = _pick_block(Y)
-    # z extents: Zs = sliceable core rounded to the bf16 sublane tile (16)
-    # so the (BX, BY, Zs, Cin) -> (BX*BY*Zs, Cin) collapse is layout-free;
-    # Zp = padded window extent with room for the +-1 z taps
+    # z extent rounded to the bf16 sublane tile (16) so the
+    # (BX, BY, Zs, Cin) -> (BX*BY*Zs, Cin) collapse is layout-free
     Zs = _ceil_to(Z, 16)
-    Zp = Zs + 16
     # lane-dim alignment: Mosaic requires HBM memref slices to be
     # 128-aligned along the minor dim (v5e rejection: "Slice shape along
     # dimension 4 must be aligned to tiling (128), but is 8" for the
@@ -98,25 +102,45 @@ def conv3x3x3_ln_gelu(x, w, b, ln_scale, ln_bias, interpret=False,
     # the contraction dim to 128 internally, so the extra zeros cost only
     # window-DMA bytes, not FLOP time.
     Cp = _ceil_to(Cin, 128)
-    # SAME halo of 1 + z padding to Zp (zeros; rows >= Z+2 are garbage that
-    # the epilogue never reads back into real rows — LN is per-position)
+    # SAME halo of 1; z padded to Zs+2 so three z-shifted Zs-windows exist
+    # (zeros; rows >= Z+2 are garbage the epilogue never reads back into
+    # real rows — LN is per-position). The three shifts are materialized
+    # as separate HBM buffers by XLA slices: an in-kernel z-offset DMA is
+    # a SUBLANE-dim slice and Mosaic requires tile-aligned (8) offsets
+    # ("Failed to prove that a tile index in dimension 3 is divisible by
+    # the tiling"); offset-0 DMAs from pre-shifted buffers are aligned.
     xp = jnp.pad(
         x.astype(jnp.bfloat16),
-        ((0, 0), (1, 1), (1, 1), (1, Zp - Z - 1), (0, Cp - Cin)),
+        ((0, 0), (1, 1), (1, 1), (1, Zs + 1 - Z), (0, Cp - Cin)),
     )
+    xz = [jax.lax.slice_in_dim(xp, dz, dz + Zs, axis=3) for dz in range(3)]
     w = w.astype(jnp.bfloat16).reshape(27, Cin, Cout)
     if Cp != Cin:
         w = jnp.pad(w, ((0, 0), (0, Cp - Cin), (0, 0)))
     b = b.astype(jnp.bfloat16).reshape(1, Cout)
     ln_scale = ln_scale.astype(jnp.float32).reshape(1, Cout)
     ln_bias = ln_bias.astype(jnp.float32).reshape(1, Cout)
+    fused_head = head_w is not None
+    if fused_head:
+        assert epilogue == "ln_gelu", "head fuses onto the ConvBlock unit"
+        head_w = head_w.astype(jnp.float32).reshape(-1, head_w.shape[-1])
+        Nh = int(head_w.shape[-1])
+        head_b = head_b.astype(jnp.float32).reshape(1, Nh)
+    C_last = Nh if fused_head else Cout
+    out_dtype = jnp.float32 if fused_head else jnp.bfloat16
     M = BX * BY * Zs
 
     nx = X // BX
     ny = Y // BY
     nsteps = B * nx * ny
 
-    def kernel(x_hbm, w_ref, b_ref, g_ref, bt_ref, out_ref, win, sem):
+    def kernel(x0_hbm, x1_hbm, x2_hbm, w_ref, b_ref, g_ref, bt_ref, *rest):
+        x_hbms = (x0_hbm, x1_hbm, x2_hbm)
+        if fused_head:
+            hw_ref, hb_ref, out_ref, win, sem = rest
+        else:
+            hw_ref = hb_ref = None
+            out_ref, win, sem = rest
         bb = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
@@ -124,35 +148,47 @@ def conv3x3x3_ln_gelu(x, w, b, ln_scale, ln_bias, interpret=False,
         # steps: double-buffer the halo-window DMA so step k's fetch
         # overlaps step k-1's 27 matmuls (the L0 window is ~3 MB — serial
         # start();wait() left the MXU idle for the whole transfer).
+        #
+        # THREE z-shifted copies of the window are fetched (win[slot, dz]
+        # holds the window starting at z offset dz): a dz in {1, 2} slice
+        # of a single window shifts the SUBLANE dim by a non-tile amount
+        # and Mosaic lowers the tap operand gather through per-sublane
+        # rotations (~6x slower than an aligned block copy — this was the
+        # single largest MFU loss in the r4 engine). With pre-shifted
+        # copies every tap slices only the two MAJOR dims, so all 27
+        # matmul operands are tile-aligned gathers. The 3x window DMA is
+        # free bandwidth-wise: it overlaps compute and HBM has headroom.
         k = (bb * nx + i) * ny + j
 
-        def win_dma(slot, kk):
+        def win_dma(slot, dz, kk):
             b2 = kk // (nx * ny)
             i2 = (kk // ny) % nx
             j2 = kk % ny
             return pltpu.make_async_copy(
-                x_hbm.at[b2, pl.ds(i2 * BX, BX + 2),
-                         pl.ds(j2 * BY, BY + 2), :, :],
-                win.at[slot],
-                sem.at[slot],
+                x_hbms[dz].at[b2, pl.ds(i2 * BX, BX + 2),
+                              pl.ds(j2 * BY, BY + 2), :, :],
+                win.at[slot, dz],
+                sem.at[slot, dz],
             )
 
         @pl.when(k == 0)
         def _():
-            win_dma(0, 0).start()
+            for dz in range(3):
+                win_dma(0, dz, 0).start()
 
         @pl.when(k + 1 < nsteps)
         def _():
-            win_dma((k + 1) % 2, k + 1).start()
+            for dz in range(3):
+                win_dma((k + 1) % 2, dz, k + 1).start()
 
-        win_dma(k % 2, k).wait()
-        wk = win[k % 2]
+        for dz in range(3):
+            win_dma(k % 2, dz, k).wait()
         acc = jnp.zeros((M, Cout), jnp.float32)
         for dx in range(3):
             for dy in range(3):
-                sl_xy = wk[dx : dx + BX, dy : dy + BY]
                 for dz in range(3):
-                    sl = sl_xy[:, :, dz : dz + Zs, :].reshape(M, Cp)
+                    sl = win[k % 2, dz, dx : dx + BX, dy : dy + BY].reshape(
+                        M, Cp)
                     acc = acc + jnp.dot(
                         sl, w_ref[dx * 9 + dy * 3 + dz],
                         preferred_element_type=jnp.float32,
@@ -170,28 +206,42 @@ def conv3x3x3_ln_gelu(x, w, b, ln_scale, ln_bias, interpret=False,
             var = jnp.mean(h * h, axis=-1, keepdims=True) - mu * mu
             y = (h - mu) * jax.lax.rsqrt(var + 1e-6) * g_ref[...] + bt_ref[...]
             y = jax.nn.gelu(y).astype(jnp.bfloat16)
-        out_ref[...] = y.reshape(1, BX, BY, Zs, Cout)[:, :, :, :Z, :]
+        if fused_head:
+            # 1x1x1 head as one f32 matmul on the (bf16-rounded, matching
+            # the unfused engine) activation — the logits leave the kernel,
+            # the activation never touches HBM
+            y = jnp.dot(y.astype(jnp.float32), hw_ref[...],
+                        preferred_element_type=jnp.float32) + hb_ref[...]
+        out_ref[...] = y.reshape(1, BX, BY, Zs, C_last)[:, :, :, :Z, :]
 
     flops = 2 * 27 * B * X * Y * Z * Cin * Cout
+    operands = [xz[0], xz[1], xz[2], w, b, ln_scale, ln_bias]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),  # z-shift 0, stays in HBM
+        pl.BlockSpec(memory_space=pltpu.ANY),  # z-shift 1
+        pl.BlockSpec(memory_space=pltpu.ANY),  # z-shift 2
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # w (27, Cin, Cout)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # ln scale
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # ln bias
+    ]
+    if fused_head:
+        operands += [head_w, head_b]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        flops += 2 * B * X * Y * Z * Cout * Nh
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, X, Y, Z, Cout), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((B, X, Y, Z, C_last), out_dtype),
         grid=(B, X // BX, Y // BY),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # padded x stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w (27, Cin, Cout)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln scale
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln bias
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, BX, BY, Z, Cout),
+            (1, BX, BY, Z, C_last),
             lambda bb, i, j: (bb, i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, BX + 2, BY + 2, Zp, Cp), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 3, BX + 2, BY + 2, Zs, Cp), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -205,4 +255,136 @@ def conv3x3x3_ln_gelu(x, w, b, ln_scale, ln_bias, interpret=False,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xp, w, b, ln_scale, ln_bias)
+    )(*operands)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def conv_transpose2x_bias(x, w, b, interpret=False):
+    """flax ``nn.ConvTranspose`` (SAME, k=3, s=2) + bias via SUBPIXEL phase
+    decomposition: each of the 8 output parity phases is a small conv over
+    the half-resolution input with its own tap subset (1/2/4/8 of the 27
+    taps — their union is all 27), so the MXU does exactly the transpose
+    conv's FLOPs. The r4 engine ran the equivalent zero-stuffed SAME conv
+    over the 2x grid — 8x the necessary matmul work, 7/8 of it multiplying
+    stuffed zeros.
+
+    Derivation (per axis, output index e = 2u + p, SAME pad 1, input at
+    odd stuffed positions): phase p=0 receives taps d in {0, 2} reading
+    x[u-1], x[u]; phase p=1 receives tap d=1 reading x[u]. Verified exact
+    vs nn.ConvTranspose in tests/test_conv_pallas.py.
+
+    Args:
+        x: (B, X, Y, Z, Cin) bfloat16 (half-resolution input).
+        w: (3, 3, 3, Cin, Cout) flax ConvTranspose kernel.
+        b: (Cout,) bias.
+    Returns:
+        (B, 2X, 2Y, 2Z, Cout) bfloat16.
+    """
+    B, X, Y, Z, Cin = x.shape
+    Cout = w.shape[-1]
+    BX = _pick_block(X)
+    BY = _pick_block(Y)
+    Zs = _ceil_to(Z, 16)
+    Cp = _ceil_to(Cin, 128)
+    # low-side halo of 1 (x[u-1]); z padded so two Zs-extent shifted
+    # windows exist (offsets 0 and 1), materialized as separate HBM
+    # buffers (in-kernel sublane-offset DMAs must be tile-aligned)
+    xp = jnp.pad(
+        x.astype(jnp.bfloat16),
+        ((0, 0), (1, 0), (1, 0), (1, Zs - Z), (0, Cp - Cin)),
+    )
+    xz = [jax.lax.slice_in_dim(xp, dz, dz + Zs, axis=3) for dz in range(2)]
+    w = w.astype(jnp.bfloat16).reshape(27, Cin, Cout)
+    if Cp != Cin:
+        w = jnp.pad(w, ((0, 0), (0, Cp - Cin), (0, 0)))
+    b = b.astype(jnp.bfloat16).reshape(1, Cout)
+    M = BX * BY * Zs
+    nx = X // BX
+    ny = Y // BY
+    nsteps = B * nx * ny
+    # per-axis tap sets: phase 0 <- d in {0: x[u-1], 2: x[u]};
+    # phase 1 <- d=1: x[u]. Window index = 0 for x[u-1], 1 for x[u].
+    D = ({0: 0, 2: 1}, {1: 1})
+
+    def kernel(x0_hbm, x1_hbm, w_ref, b_ref, out_ref, win, sem):
+        x_hbms = (x0_hbm, x1_hbm)
+        bb = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        k = (bb * nx + i) * ny + j
+
+        def win_dma(slot, dz, kk):
+            b2 = kk // (nx * ny)
+            i2 = (kk // ny) % nx
+            j2 = kk % ny
+            return pltpu.make_async_copy(
+                x_hbms[dz].at[b2, pl.ds(i2 * BX, BX + 1),
+                              pl.ds(j2 * BY, BY + 1), :, :],
+                win.at[slot, dz],
+                sem.at[slot, dz],
+            )
+
+        @pl.when(k == 0)
+        def _():
+            for dz in range(2):
+                win_dma(0, dz, 0).start()
+
+        @pl.when(k + 1 < nsteps)
+        def _():
+            for dz in range(2):
+                win_dma((k + 1) % 2, dz, k + 1).start()
+
+        for dz in range(2):
+            win_dma(k % 2, dz, k).wait()
+        ys = []
+        for px in range(2):
+            for py in range(2):
+                for pz in range(2):
+                    acc = jnp.zeros((M, Cout), jnp.float32)
+                    for dx, ox in D[px].items():
+                        for dy, oy in D[py].items():
+                            for dz, oz in D[pz].items():
+                                sl = win[k % 2, oz, ox : ox + BX,
+                                         oy : oy + BY].reshape(M, Cp)
+                                acc = acc + jnp.dot(
+                                    sl, w_ref[dx * 9 + dy * 3 + dz],
+                                    preferred_element_type=jnp.float32,
+                                )
+                    ys.append(acc.astype(jnp.bfloat16) + b_ref[...])
+        out = jnp.concatenate(ys, axis=-1)
+        out_ref[...] = out.reshape(1, BX, BY, Zs, 8 * Cout)[:, :, :, :Z, :]
+
+    flops = 2 * 27 * B * X * Y * Z * Cin * Cout  # = 2*27/8 * (2X*2Y*2Z)...
+    phased = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, X, Y, Z, 8 * Cout), jnp.bfloat16),
+        grid=(B, X // BX, Y // BY),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, BX, BY, Z, 8 * Cout),
+            lambda bb, i, j: (bb, i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, BX + 1, BY + 1, Zs, Cp), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * 2 + B * X * Y * Z * 8 * Cout * 2,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xz[0], xz[1], w, b)
+    # interleave phases: (B, X, Y, Z, (px, py, pz), Cout) -> full res
+    ph = phased.reshape(B, X, Y, Z, 2, 2, 2, Cout)
+    ph = ph.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return ph.reshape(B, 2 * X, 2 * Y, 2 * Z, Cout)

@@ -162,3 +162,26 @@ def test_unet_engine_trained_mask_agreement():
     assert flips < 3e-3, float(flips)
     d = np.abs(np.asarray(rp) - np.asarray(gp))
     assert np.median(d) < 1e-3, float(np.median(d))
+
+
+def test_conv_transpose2x_phases_matches_flax():
+    """Subpixel-phase transpose conv == nn.ConvTranspose(SAME, k=3, s=2)
+    to bf16 resolution (it does 1/8th the zero-stuffed formulation's MXU
+    work)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from syconn_tpu.ops.conv3d_pallas import conv_transpose2x_bias
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 16, 24)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    mod = nn.ConvTranspose(features=16, kernel_size=(3, 3, 3),
+                           strides=(2, 2, 2), padding="SAME")
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    ref = np.asarray(mod.apply({"params": params}, x), np.float32)
+    got = np.asarray(conv_transpose2x_bias(
+        x, params["kernel"], params["bias"], interpret=True), np.float32)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=0.02, atol=0.02)
