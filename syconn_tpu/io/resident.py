@@ -211,8 +211,19 @@ def get(path: str, channel: str, mag: int = 1, derive: bool = True):
         ev = tuple((s // 2) * 2 for s in sh)
         dev = dev[: ev[0], : ev[1], : ev[2]]
         if channel == "raw":
-            r = dev.reshape(ev[0] // 2, 2, ev[1] // 2, 2, ev[2] // 2, 2)
-            dev = r.astype(jnp.float32).mean(axis=(1, 3, 5)).astype(jnp.uint8)
+            # reshape-free 2x mean-pool: the (n,2,m,2,k,2) reshape gets its
+            # trailing size-2 dims padded to the TPU tile — a 64x HBM
+            # blowup (46 GB for the 1100x1100x600 reference volume, OOM).
+            # Eight stride-2 slices keep every temporary at 1/8 the base;
+            # integer sums of 8 u8 values are exact in f32, so the result
+            # is bit-identical to the reshape/mean formulation.
+            acc = None
+            for di in range(2):
+                for dj in range(2):
+                    for dk in range(2):
+                        s = dev[di::2, dj::2, dk::2].astype(jnp.float32)
+                        acc = s if acc is None else acc + s
+            dev = (acc * 0.125).astype(jnp.uint8)
         else:
             dev = dev[::2, ::2, ::2]
         m *= 2

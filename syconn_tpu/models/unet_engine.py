@@ -53,8 +53,18 @@ def _block(params, name, h, interpret):
 _DN = ("NDHWC", "DHWIO", "NDHWC")
 
 
-def _down(params, name, h, stride):
+def _down(params, name, h, stride, interpret):
+    """Strided transition conv: stride-2 SAME runs through the
+    phase-decomposed Pallas kernel (27 half-res matmuls, the last ~7% of
+    model FLOPs that r4 left on XLA's Conv3D lowering); other strides or
+    odd extents fall back to XLA."""
+    from ..ops.conv3d_pallas import conv_down2x_bias
+
     p = params[name]
+    even = all(int(s) % 2 == 0 for s in h.shape[1:4])
+    if tuple(int(s) for s in stride) == (2, 2, 2) and even:
+        return conv_down2x_bias(h, p["kernel"], p["bias"],
+                                interpret=interpret)
     y = jax.lax.conv_general_dilated(
         h, p["kernel"].astype(jnp.bfloat16),
         window_strides=tuple(int(s) for s in stride), padding="SAME",
@@ -100,7 +110,7 @@ def unet_apply_packed(model: UNet3D, params, x, interpret: bool = None):
         h = _block(params, f"ConvBlock_{i}", h, interpret)
         if i < depth - 1:
             skips.append(h)
-            h = _down(params, f"Conv_{i}", h, model.strides[i])
+            h = _down(params, f"Conv_{i}", h, model.strides[i], interpret)
     hp = params["head"]
     for k, i in enumerate(reversed(range(depth - 1))):
         h = _up(params, f"ConvTranspose_{k}", h, model.strides[i], interpret)

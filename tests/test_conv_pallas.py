@@ -164,6 +164,34 @@ def test_unet_engine_trained_mask_agreement():
     assert np.median(d) < 1e-3, float(np.median(d))
 
 
+@pytest.mark.parametrize("shape,cout", [
+    ((1, 16, 16, 16, 32), 64),
+    ((1, 8, 8, 24, 48), 64),   # z2 not a sublane multiple, odd Cin tile
+])
+def test_conv_down2x_phases_matches_flax(shape, cout):
+    """Input-phase-decomposed strided conv == nn.Conv(SAME, k=3, s=2) to
+    bf16 resolution (the stride-2 transition convs the r4 engine left on
+    XLA's Conv3D lowering)."""
+    import flax.linen as nn
+
+    from syconn_tpu.ops.conv3d_pallas import conv_down2x_bias
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 1, shape).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    mod = nn.Conv(features=cout, kernel_size=(3, 3, 3), strides=(2, 2, 2),
+                  padding="SAME", dtype=jnp.bfloat16)
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    ref = np.asarray(mod.apply({"params": params}, x), np.float32)
+    got = np.asarray(conv_down2x_bias(
+        x, params["kernel"], params["bias"], interpret=True), np.float32)
+    assert got.shape == ref.shape
+    denom = np.maximum(np.abs(ref), 1e-2)
+    rel = np.abs(got - ref) / denom
+    assert np.median(rel) < 2e-2, float(np.median(rel))
+    assert np.mean(rel > 0.1) < 0.02, float(np.mean(rel > 0.1))
+
+
 def test_conv_transpose2x_phases_matches_flax():
     """Subpixel-phase transpose conv == nn.ConvTranspose(SAME, k=3, s=2)
     to bf16 resolution (it does 1/8th the zero-stuffed formulation's MXU
