@@ -27,6 +27,7 @@ __all__ = [
     "ssv_to_cell",
     "score_synapses",
     "score_celltype",
+    "score_celltype_views",
     "score_compartments",
     "score_spinehead",
     "score_myelin",
@@ -141,6 +142,42 @@ def score_celltype(wd: str, gt) -> Dict[str, float]:
     }
 
 
+def score_celltype_views(wd: str, gt) -> Dict[str, float]:
+    """Celltype accuracy of the MULTI-VIEW path (render_sampled_sso ->
+    MultiViewCMN, reference flagship: super_segmentation_helper.py:1670
+    ``celltype_of_sso_nocache``), independent of whatever path the pipeline
+    ran. Requires trained view weights (views_infer refuses seed init);
+    returns n_cells=0 when the view model is not packaged/trained."""
+    from ..inference.views_infer import celltype_of_sso_views
+    from ..reps.super_segmentation import SuperSegmentationDataset
+
+    _activate(wd)
+    ssd = SuperSegmentationDataset(working_dir=wd)
+    ct_gt = gt["celltype_gt"]
+    hits, tot, glia_ok = 0, 0, 0
+    for sid in ssd.ssv_ids:
+        ssv = ssd.get_super_segmentation_object(int(sid))
+        cell = ssv_to_cell(ssv, gt)
+        if cell <= 0:
+            continue
+        try:
+            guess = celltype_of_sso_views(
+                ssv, pred_key="celltype_views_score", save=False)
+        except (FileNotFoundError, ValueError):
+            return {"acc": float("nan"), "glia_acc": float("nan"),
+                    "n_cells": 0.0}
+        if guess is None:
+            continue
+        hits += int(int(guess) == int(ct_gt[cell]))
+        glia_ok += int((int(guess) == 3) == (int(ct_gt[cell]) == 3))
+        tot += 1
+    return {
+        "acc": hits / max(tot, 1),
+        "glia_acc": glia_ok / max(tot, 1),
+        "n_cells": float(tot),
+    }
+
+
 def score_compartments(wd: str, gt) -> Dict[str, float]:
     """Skeleton-node axoness labels vs the compart volume; scores the
     window-averaged key downstream consumers read (reference:
@@ -239,6 +276,7 @@ def score_all(wd: str, gt=None) -> Dict[str, Dict[str, float]]:
     return {
         "synapses": score_synapses(wd, gt),
         "celltype": score_celltype(wd, gt),
+        "celltype_views": score_celltype_views(wd, gt),
         "compartments": score_compartments(wd, gt),
         "spinehead": score_spinehead(wd, gt),
         "myelin": score_myelin(wd, gt),

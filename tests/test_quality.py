@@ -69,6 +69,12 @@ def _mean(runs, group, key):
     return float(np.mean(finite)) if finite else float("nan")
 
 
+def _min(runs, group, key):
+    finite = [runs[s][group][key] for s in runs
+              if np.isfinite(runs[s][group][key])]
+    return float(np.min(finite)) if finite else float("nan")
+
+
 def test_synapse_positions(quality_runs):
     for s, r in quality_runs.items():
         assert r["synapses"]["n_gt"] >= 5, f"seed {s}: too few GT synapses"
@@ -89,6 +95,23 @@ def test_celltype_accuracy(quality_runs):
     glia = _mean(quality_runs, "celltype", "glia_acc")
     assert acc >= 0.75, f"mean celltype accuracy {acc:.2f}"
     assert glia >= 0.85, f"mean glia-vs-neuron accuracy {glia:.2f}"
+    # per-seed floor (VERDICT r4 #4): the mean must not be carried by one
+    # lucky world — every held-out seed has to clear 0.6 on its own
+    mn = _min(quality_runs, "celltype", "acc")
+    assert mn >= 0.6, f"worst-seed celltype accuracy {mn:.2f}"
+
+
+def test_celltype_views_path(quality_runs):
+    """The multi-view CMN path (splat renderer -> MultiViewCMN, reference
+    flagship celltype_of_sso_nocache) scored independently of the pipeline's
+    configured path. Skips when no trained view weights are packaged — the
+    documented default is point-primary (views_infer refuses seed init)."""
+    if all(r["celltype_views"]["n_cells"] == 0 for r in quality_runs.values()):
+        pytest.skip("no trained view-CMN weights packaged")
+    acc = _mean(quality_runs, "celltype_views", "acc")
+    glia = _mean(quality_runs, "celltype_views", "glia_acc")
+    assert acc >= 0.6, f"mean view-path celltype accuracy {acc:.2f}"
+    assert glia >= 0.75, f"mean view-path glia accuracy {glia:.2f}"
 
 
 def test_compartment_labels(quality_runs):
@@ -127,8 +150,13 @@ def test_myelin_on_axons(quality_runs):
     with_my = [s for s, r in quality_runs.items()
                if np.isfinite(r["myelin"]["recall"])]
     assert with_my, "no held-out world built myelin"
-    recall = _mean({s: quality_runs[s] for s in with_my}, "myelin", "recall")
+    my_runs = {s: quality_runs[s] for s in with_my}
+    recall = _mean(my_runs, "myelin", "recall")
     assert recall >= 0.5, f"mean myelin node recall {recall:.2f}"
+    # per-seed floor (VERDICT r4 #4): seed 1901 measured 0.375 in r4 while
+    # the mean cleared the gate — every seed must recall >= 0.5 alone
+    mn = _min(my_runs, "myelin", "recall")
+    assert mn >= 0.5, f"worst-seed myelin recall {mn:.2f}"
     ax = _mean({s: quality_runs[s] for s in with_my}, "myelin", "axon_rate")
     de = _mean({s: quality_runs[s] for s in with_my}, "myelin", "dend_rate")
     assert ax >= de, f"myelin not axon-enriched (axon {ax:.3f} vs dend {de:.3f})"
