@@ -21,6 +21,18 @@ log = logging.getLogger("syconn_tpu.toy_train")
 __all__ = ["train_toy_dense_models"]
 
 
+def myelin_dilation(mag: int) -> int:
+    """Training-target dilation for the myelin sheath, in voxels AT ``mag``.
+
+    The deployment probe reads the map at skeleton nodes — axon CENTERS,
+    r_axon (~2-2.4 mag-1 voxels in the neuron worlds) inside the sheath's
+    inner surface — so the target must cover ~3 mag-1 voxels of stretch
+    interior regardless of the training mag. Shared by the trainer
+    (cnn/toy.py) and the held-out scorer (train_pretrained.
+    dense_heldout_iou) so the receipt scores the exact training target."""
+    return max(1, int(round(3 / max(int(mag), 1))))
+
+
 def train_toy_dense_models(
     world,
     steps: int = 300,
@@ -125,7 +137,9 @@ def train_toy_dense_models(
             from scipy import ndimage as _ndi
 
             task_vols = [
-                _ndi.binary_dilation((lv > 0), iterations=2).astype(np.int32)
+                _ndi.binary_dilation(
+                    (lv > 0), iterations=myelin_dilation(mag)
+                ).astype(np.int32)
                 for lv in task_vols
             ]
         # tile must divide by the model's total per-axis downsampling

@@ -88,7 +88,10 @@ def dense_heldout_iou(world, tasks=("organelles",)) -> dict:
         if task == "myelin":
             from scipy import ndimage as _ndi
 
-            gt = _ndi.binary_dilation(gt > 0, iterations=2).astype(np.int32)
+            from .toy import myelin_dilation
+
+            gt = _ndi.binary_dilation(
+                gt > 0, iterations=myelin_dilation(mag)).astype(np.int32)
         for c, nm in names.items():
             inter = int(((lab == c) & (gt == c)).sum())
             union = int(((lab == c) | (gt == c)).sum())
@@ -144,7 +147,7 @@ def main():
                              "scalars) only trains when --pipeline_worlds "
                              "provides reconstruction clouds; measured r4: "
                              "local-only 0.56 end-to-end vs hybrid 0.77")
-    parser.add_argument("--myelin_mag", type=int, default=2,
+    parser.add_argument("--myelin_mag", type=int, default=1,
                         help="deployment mag for the myelin model. The toy "
                              "world's sheaths are 2-3 mag-1 voxels thin — "
                              "mag 4 (the reference's choice on real 10nm EM) "

@@ -112,7 +112,7 @@ def _detect_cs_pallas(seg_padded, offs, cands, stencil, tile_xy, K, interpret=Fa
         num_scalar_prefetch=2,  # offs + candidate table (SMEM scalars)
         grid=(n_cols,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # seg stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # seg stays in HBM
         ],
         out_specs=[
             pl.BlockSpec(

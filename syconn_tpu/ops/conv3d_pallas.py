@@ -217,9 +217,9 @@ def conv3x3x3_ln_gelu(x, w, b, ln_scale, ln_bias, interpret=False,
     flops = 2 * 27 * B * X * Y * Z * Cin * Cout
     operands = [xz[0], xz[1], xz[2], w, b, ln_scale, ln_bias]
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),  # z-shift 0, stays in HBM
-        pl.BlockSpec(memory_space=pltpu.ANY),  # z-shift 1
-        pl.BlockSpec(memory_space=pltpu.ANY),  # z-shift 2
+        pl.BlockSpec(memory_space=pl.ANY),  # z-shift 0, stays in HBM
+        pl.BlockSpec(memory_space=pl.ANY),  # z-shift 1
+        pl.BlockSpec(memory_space=pl.ANY),  # z-shift 2
         pl.BlockSpec(memory_space=pltpu.VMEM),  # w (27, Cin, Cout)
         pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
         pl.BlockSpec(memory_space=pltpu.VMEM),  # ln scale
@@ -360,8 +360,8 @@ def conv_transpose2x_bias(x, w, b, interpret=False):
         out_shape=jax.ShapeDtypeStruct((B, X, Y, Z, 8 * Cout), jnp.bfloat16),
         grid=(B, X // BX, Y // BY),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -492,8 +492,8 @@ def conv_down2x_bias(x, w, b, interpret=False):
         out_shape=jax.ShapeDtypeStruct((B, X2, Y2, Z2, Cout), jnp.bfloat16),
         grid=(B, nx, ny),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
