@@ -19,6 +19,34 @@ from syconn_tpu.handler.config import generate_default_conf, initialize_logging
 from syconn_tpu.proc.stats import FileTimer
 
 
+def _write_timing_json(wd, args, ftimer):
+    """Committed-receipt artifact: per-step seconds as JSON next to the pkl.
+
+    Reruns of a prepared working dir (prep with --until_step 0, pipeline
+    later without --overwrite) merge into the existing artifact so the
+    'Preparation' row from the prep invocation survives.
+    """
+    import json as _json
+
+    path = os.path.join(wd, "timing.json")
+    steps = {}
+    if os.path.isfile(path):
+        try:
+            with open(path) as f:
+                steps = _json.load(f).get("steps_s", {})
+        except Exception:
+            steps = {}
+    steps.update({k: round(float(v), 2) for k, v in ftimer.timings.items()})
+    with open(path, "w") as f:
+        _json.dump({
+            "shape": list(args.shape),
+            "n_cells": args.n_cells,
+            "world": args.world,
+            "gvx": float(np.prod(args.shape)) / 1e9,
+            "steps_s": steps,
+        }, f, indent=1)
+
+
 def main():
     parser = argparse.ArgumentParser(description="syconn_tpu example run")
     parser.add_argument("--working_dir", type=str, default="")
@@ -65,10 +93,11 @@ def main():
                              "world (reference default 10000 nm assumes "
                              "mm-scale neurites)")
     parser.add_argument("--until_step", type=int, default=99,
-                        help="stop after this pipeline step (6 = synapse "
-                             "detection). Training-world generation for the "
-                             "point models only needs geometry + syn_ssv, "
-                             "not the inference steps 7-9")
+                        help="stop after this pipeline step (0 = data "
+                             "preparation only, 6 = synapse detection). "
+                             "Training-world generation for the point "
+                             "models only needs geometry + syn_ssv, not "
+                             "the inference steps 7-9")
     parser.add_argument("--shard_pipeline", action=argparse.BooleanOptionalAction,
                         default=None,
                         help="run the hot pipeline steps sharded over ALL "
@@ -276,6 +305,15 @@ def main():
         _edp.predict_cellorganelles(mag=1)
         ftimer.stop()
 
+    if args.until_step < 1:
+        # data-preparation-only run: build the world + working dir on disk
+        # (e.g. ahead of a benchmark session) and leave the pipeline for a
+        # later invocation WITHOUT --overwrite, which re-hydrates the
+        # resident store from the chunk store and continues from step 1.
+        log.info("until_step < 1: stopping after Preparation")
+        _write_timing_json(wd, args, ftimer)
+        return
+
     from syconn_tpu.exec import (
         exec_dense_prediction,
         exec_inference,
@@ -351,18 +389,7 @@ def main():
         ftimer.stop()
 
     log.info("\n" + ftimer.prepare_report())
-    # committed-receipt artifact: per-step seconds as JSON next to the pkl
-    import json as _json
-
-    with open(os.path.join(wd, "timing.json"), "w") as f:
-        _json.dump({
-            "shape": list(args.shape),
-            "n_cells": args.n_cells,
-            "world": args.world,
-            "gvx": float(np.prod(args.shape)) / 1e9,
-            "steps_s": {k: round(float(v), 2)
-                        for k, v in ftimer.timings.items()},
-        }, f, indent=1)
+    _write_timing_json(wd, args, ftimer)
     if args.run_server:
         from syconn_tpu.analysis.server import main as server_main
 
