@@ -48,12 +48,17 @@ def main():
     generate_default_conf(wd, scaling=(10, 10, 20), force_overwrite=True)
     global_params.wd = wd
 
+    # score every packaged dense model (er/golgi only exist when trained)
+    from ..models.io import model_exists, packaged_model_path
+
+    tasks = ["organelles", "myelin"] + [
+        t for t in ("er", "golgi") if model_exists(packaged_model_path(t))
+    ]
     per_seed = {}
     for seed in args.seeds:
         world = generate_neuron_world(
             shape=tuple(args.shape), n_cells=args.n_cells, seed=seed)
-        per_seed[seed] = dense_heldout_iou(
-            world, tasks=("organelles", "myelin"))
+        per_seed[seed] = dense_heldout_iou(world, tasks=tuple(tasks))
         print(f"seed {seed}: {json.dumps(per_seed[seed])}", flush=True)
 
     mean = {k: float(np.mean([per_seed[s][k] for s in args.seeds]))
@@ -63,15 +68,20 @@ def main():
         "mean": mean,
         "shape": list(args.shape), "n_cells": args.n_cells,
         "driver": "python -m syconn_tpu.cnn.eval_dense",
-        "models": "syconn_tpu/models/pretrained/{organelles,myelin}",
+        "models": "syconn_tpu/models/pretrained/{%s}" % ",".join(tasks),
         # the myelin score is IoU against the *training-target*
         # definition (GT sheath mask pooled to deployment mag, then
-        # dilated by 2 — see train_pretrained.dense_heldout_iou); record
-        # that here so the number is interpretable without reading code
+        # dilated by myelin_dilation(mag) ~ 3 mag-1-equivalent voxels —
+        # see cnn/toy.myelin_dilation and train_pretrained.
+        # dense_heldout_iou); record that here so the number is
+        # interpretable without reading code
         "gt_definition": {
             "organelles_*_iou": "argmax vs GT label at deployment mag",
-            "myelin_myelin_iou": "binary IoU vs dilated(2) pooled GT "
-                                 "sheath mask (training-target def.)",
+            "myelin_myelin_iou": "binary IoU vs pooled GT sheath mask "
+                                 "dilated by myelin_dilation(mag) "
+                                 "(training-target def.)",
+            "er_er_iou/golgi_golgi_iou": "binary IoU vs GT mask at "
+                                         "deployment mag",
         },
     }
     print("MEAN:", json.dumps(mean), flush=True)
