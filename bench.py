@@ -174,8 +174,18 @@ def _bench_kernels(run_with_deadline) -> dict:
             rates.append(vox / (time.perf_counter() - t0) / 1e6)
         return rates
 
-    ok, r = run_with_deadline(_resident_cs, 300.0)
-    out["contact_resident_xla_mvox_per_s"] = _med(r) if ok else None
+    def _measure(fn, key):
+        # one kernel failing (e.g. a Mosaic lowering rejection) must not
+        # erase the other measurements — record per-key errors instead
+        try:
+            ok, r = run_with_deadline(fn, 300.0)
+        except Exception as e:  # noqa: BLE001
+            out[key] = None
+            out[key + "_error"] = repr(e)[:300]
+            return
+        out[key] = _med(r) if ok else None
+
+    _measure(_resident_cs, "contact_resident_xla_mvox_per_s")
 
     # streaming path: Pallas Mosaic kernel incl. host candidate prep +
     # dense fetch (what CsDispatcher does per extraction chunk)
@@ -191,8 +201,7 @@ def _bench_kernels(run_with_deadline) -> dict:
             rates.append(vox / (time.perf_counter() - t0) / 1e6)
         return rates
 
-    ok, r = run_with_deadline(_pallas_cs, 300.0)
-    out["contact_pallas_e2e_mvox_per_s"] = _med(r) if ok else None
+    _measure(_pallas_cs, "contact_pallas_e2e_mvox_per_s")
 
     # resident per-chunk object-property scan (SD generation's hot scan)
     def _props():
@@ -207,8 +216,7 @@ def _bench_kernels(run_with_deadline) -> dict:
             rates.append(vox / (time.perf_counter() - t0) / 1e6)
         return rates
 
-    ok, r = run_with_deadline(_props, 300.0)
-    out["props_resident_mvox_per_s"] = _med(r) if ok else None
+    _measure(_props, "props_resident_mvox_per_s")
     return out
 
 

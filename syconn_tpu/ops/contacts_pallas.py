@@ -50,6 +50,11 @@ def _detect_cs_pallas(seg_padded, offs, cands, stencil, tile_xy, K, interpret=Fa
     """
     n_cols = offs.shape[0]
     tx, ty = tile_xy
+    # column origins are (i*tx, j*ty); the y origin feeds a sublane-tiled
+    # (8-row) HBM slice whose dynamic offset Mosaic must PROVE aligned —
+    # the pl.multiple_of hint below carries that proof, so the tile sizes
+    # must actually be sublane multiples
+    assert tx % 8 == 0 and ty % 8 == 0, (tx, ty)
     hx, hy, hz = stencil[0] // 2, stencil[1] // 2, stencil[2] // 2
     Z = seg_padded.shape[2]  # multiple of 128 (lane dim)
     # DMA destinations need sublane-multiple extents (8 for int32); round the
@@ -59,8 +64,11 @@ def _detect_cs_pallas(seg_padded, offs, cands, stencil, tile_xy, K, interpret=Fa
 
     def kernel(offs_ref, cands_ref, seg_hbm, out_lo_ref, out_hi_ref, win_vmem, sem):
         g = pl.program_id(0)
-        ox = offs_ref[g, 0]
-        oy = offs_ref[g, 1]
+        # dynamic scalars from SMEM: assert their 8-alignment to Mosaic
+        # (jax 0.9 rejects the un-hinted slice: "Failed to prove that a
+        # tile index in dimension 1 is divisible by the tiling (8)")
+        ox = pl.multiple_of(offs_ref[g, 0], 8)
+        oy = pl.multiple_of(offs_ref[g, 1], 8)
         # full-z column window; minor dim sliced full-extent (DMA alignment)
         cp = pltpu.make_async_copy(
             seg_hbm.at[pl.ds(ox, wx), pl.ds(oy, wy), :], win_vmem, sem
