@@ -18,6 +18,7 @@ differs from XLA's conv schedule (both f32 accumulations rounded to bf16)
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -53,6 +54,16 @@ def _block(params, name, h, interpret):
 _DN = ("NDHWC", "DHWIO", "NDHWC")
 
 
+def _engine_opt(name: str, default: bool = True) -> bool:
+    """Per-component engine toggles for on-chip A/B timing
+    (``SYCONN_TPU_ENGINE_{UP_PHASES,DOWN_PHASES,FUSED_HEAD}=0|1``).
+    The r5 refinements were committed under a wedged device link; these
+    flags let bench.py attribute wall-clock to each one on real hardware
+    without rebuilding the engine."""
+    v = os.environ.get(f"SYCONN_TPU_ENGINE_{name}")
+    return default if v is None else v == "1"
+
+
 def _down(params, name, h, stride, interpret):
     """Strided transition conv: stride-2 SAME runs through the
     phase-decomposed Pallas kernel (27 half-res matmuls, the last ~7% of
@@ -62,7 +73,8 @@ def _down(params, name, h, stride, interpret):
 
     p = params[name]
     even = all(int(s) % 2 == 0 for s in h.shape[1:4])
-    if tuple(int(s) for s in stride) == (2, 2, 2) and even:
+    if (tuple(int(s) for s in stride) == (2, 2, 2) and even
+            and _engine_opt("DOWN_PHASES")):
         return conv_down2x_bias(h, p["kernel"], p["bias"],
                                 interpret=interpret)
     y = jax.lax.conv_general_dilated(
@@ -79,6 +91,9 @@ def _up(params, name, h, stride, interpret):
     phase is a small conv over the half-res input with its own tap subset,
     so the MXU does exactly the transpose conv's FLOPs (the r4 engine's
     zero-stuffed formulation did 8x that, 7/8 of it on stuffed zeros).
+    ``SYCONN_TPU_ENGINE_UP_PHASES=0`` selects the zero-stuffed fused
+    formulation instead (more FLOPs but one large aligned kernel — the
+    faster choice is an empirical, per-chip question).
     Non-2 strides fall back to lax.conv_transpose."""
     from ..ops.conv3d_pallas import conv_transpose2x_bias
 
@@ -90,6 +105,18 @@ def _up(params, name, h, stride, interpret):
             dimension_numbers=_DN, transpose_kernel=False,
         )
         return y + p["bias"].astype(jnp.bfloat16)
+    if not _engine_opt("UP_PHASES"):
+        # zero-stuffed: SAME 3x3x3 conv over the 2x dilated volume with
+        # the input at ODD indices ((2,1) transpose padding absorbed into
+        # the stuffing offset; exact vs nn.ConvTranspose)
+        b, X, Y, Z, C = h.shape
+        xd = jnp.zeros((b, 2 * X, 2 * Y, 2 * Z, C), jnp.bfloat16)
+        xd = xd.at[:, 1::2, 1::2, 1::2, :].set(h.astype(jnp.bfloat16))
+        zeros = jnp.zeros((p["kernel"].shape[-1],), jnp.float32)
+        return conv3x3x3_ln_gelu(
+            xd, p["kernel"], p["bias"], zeros, zeros,
+            interpret=interpret, epilogue="bias",
+        )
     return conv_transpose2x_bias(h, p["kernel"], p["bias"],
                                  interpret=interpret)
 
@@ -116,7 +143,7 @@ def unet_apply_packed(model: UNet3D, params, x, interpret: bool = None):
         h = _up(params, f"ConvTranspose_{k}", h, model.strides[i], interpret)
         h = jnp.concatenate([h, skips[i].astype(jnp.bfloat16)], axis=-1)
         name = f"ConvBlock_{depth + k}"
-        if i == 0:
+        if i == 0 and _engine_opt("FUSED_HEAD"):
             # final decoder block: fuse the 1x1x1 head into the second
             # conv's epilogue — the full-res activation never leaves VMEM
             p = params[name]
