@@ -33,6 +33,24 @@ def myelin_dilation(mag: int) -> int:
     return max(1, int(round(3 / max(int(mag), 1))))
 
 
+def _pool_mean(a, f):
+    """2x^k mean-pool a uint8 volume (the KD raw pyramid's downsampling)."""
+    s = (np.asarray(a.shape) // f) * f
+    a = a[: s[0], : s[1], : s[2]]
+    return (
+        a.reshape(s[0] // f, f, s[1] // f, f, s[2] // f, f)
+        .mean(axis=(1, 3, 5))
+        .astype(np.uint8)
+    )
+
+
+def _pool_any(a, f):
+    """any-pool a label volume (a coarse voxel is fg if any child is)."""
+    s = (np.asarray(a.shape) // f) * f
+    a = a[: s[0], : s[1], : s[2]]
+    return a.reshape(s[0] // f, f, s[1] // f, f, s[2] // f, f).max(axis=(1, 3, 5))
+
+
 def train_toy_dense_models(
     world,
     steps: int = 300,
@@ -70,20 +88,6 @@ def train_toy_dense_models(
         # input (measured: mag-4 recall 0, mag-1 recall 0.98) — train each
         # task at its deployment mag.
         task_mags = {"myelin": 4}
-
-    def _pool_mean(a, f):
-        s = (np.asarray(a.shape) // f) * f
-        a = a[: s[0], : s[1], : s[2]]
-        return (
-            a.reshape(s[0] // f, f, s[1] // f, f, s[2] // f, f)
-            .mean(axis=(1, 3, 5))
-            .astype(np.uint8)
-        )
-
-    def _pool_any(a, f):
-        s = (np.asarray(a.shape) // f) * f
-        a = a[: s[0], : s[1], : s[2]]
-        return a.reshape(s[0] // f, f, s[1] // f, f, s[2] // f, f).max(axis=(1, 3, 5))
 
     # labels per task, per world
     label_vols: Dict[str, list] = {}
@@ -208,7 +212,50 @@ def train_toy_dense_models(
                 acc = float(m["acc"])
                 (log_cb or log.info)(f"[{task}] step {i + 1}/{steps} acc {acc:.3f}")
         mpath = getattr(cfg, f"mpath_{task}")
-        save_model(mpath, model, state.params,
-                   extra_meta={"task": task, "toy_steps": steps, "mag": mag})
+        meta = {"task": task, "toy_steps": steps, "mag": mag}
+        if model.n_classes == 2:
+            # binary heads over-fire under the fg-boosted sampling/loss
+            # weights (measured: myelin precision 0.15 at argmax despite
+            # recall 0.75) — calibrate the deployment threshold on the
+            # TRAINING worlds and ship it in the model meta; consumers
+            # (map_myelin2coords, the held-out scorer) read it from there
+            thr, cal_iou = calibrate_binary_threshold(
+                model, state.params, t_raws[:2], task_vols[:2])
+            meta.update({"threshold": thr, "calib_train_iou": cal_iou})
+            (log_cb or log.info)(
+                f"[{task}] calibrated threshold {thr} (train IoU {cal_iou:.3f})")
+        save_model(mpath, model, state.params, extra_meta=meta)
         accs[task] = acc
     return accs
+
+
+def calibrate_binary_threshold(model, params, raws, targets):
+    """Pick the fg-probability threshold (uint8 0-255 scale) maximizing
+    voxel IoU of ``probs[..., 1] >= thr/255`` against the binary targets
+    on (training) worlds. Returns ``(threshold, iou_at_threshold)``.
+
+    Post-hoc threshold calibration is standard practice for imbalanced
+    dense heads (the reference tunes per-task ``probathresholds`` in
+    config.yml:117 the same way, by hand); computing it from the training
+    worlds keeps the held-out receipt honest."""
+    from ..inference.dense import DenseTilePredictor
+
+    fg_list, tg_list = [], []
+    for raw, tgt in zip(raws, targets):
+        tile = tuple(int(t) for t in np.minimum((128, 128, 64), raw.shape))
+        pred = DenseTilePredictor(model, params, tile_shape=tile,
+                                  halo=(16, 16, 8), mode="probs")
+        probs = pred.predict_array(raw)  # uint8 0-255 probabilities
+        fg_list.append(np.asarray(probs[..., 1], np.uint8).reshape(-1))
+        tg_list.append((np.asarray(tgt) > 0).reshape(-1))
+    fg = np.concatenate(fg_list)
+    tg = np.concatenate(tg_list)
+    best_thr, best_iou = 128, -1.0
+    for thr in range(8, 249, 8):
+        p = fg >= thr
+        inter = float(np.count_nonzero(p & tg))
+        union = float(np.count_nonzero(p | tg))
+        iou = inter / max(union, 1.0)
+        if iou > best_iou:
+            best_thr, best_iou = thr, iou
+    return int(best_thr), float(best_iou)

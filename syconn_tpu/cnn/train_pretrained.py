@@ -48,9 +48,14 @@ def dense_heldout_iou(world, tasks=("organelles",)) -> dict:
         mpath = getattr(cfg, f"mpath_{task}")
         model, params = get_or_init_model(mpath, builder)
         try:
-            mag = int(load_model_meta(mpath).get("mag", 1))
+            meta = load_model_meta(mpath)
         except FileNotFoundError:
-            mag = 1
+            meta = {}
+        mag = int(meta.get("mag", 1))
+        # binary heads deploy at their calibrated probability threshold
+        # (model meta, cnn/toy.calibrate_binary_threshold) — score the
+        # exact deployment decision rule, not argmax
+        bin_thr = meta.get("threshold")
 
         def _pool(a, f, how):
             s = (np.asarray(a.shape) // f) * f
@@ -64,7 +69,10 @@ def dense_heldout_iou(world, tasks=("organelles",)) -> dict:
             model, params, tile_shape=tile, halo=(16, 16, 8), mode="probs",
         )
         probs = pred.predict_array(raw)
-        lab = np.argmax(probs, axis=-1)
+        if model.n_classes == 2 and bin_thr is not None:
+            lab = (probs[..., 1] >= int(bin_thr)).astype(np.int64)
+        else:
+            lab = np.argmax(probs, axis=-1)
         if task == "organelles":
             gt = np.zeros(world["raw"].shape, np.int32)
             gt[world["mi"] > 0] = 1

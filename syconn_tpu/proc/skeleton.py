@@ -130,7 +130,8 @@ def generate_skeletons(
 
 
 def map_myelin2coords(
-    coords_vx: np.ndarray, mag: Optional[int] = None, thresh: float = 128.0
+    coords_vx: np.ndarray, mag: Optional[int] = None,
+    thresh: Optional[float] = None,
 ) -> np.ndarray:
     """Myelin flag per coordinate by probing the myelin prediction volume
     (reference: super_segmentation_helper.py:550).
@@ -143,6 +144,17 @@ def map_myelin2coords(
     clipped every node to the first 1/4 of each axis."""
     cfg = global_params.config
     kd = kd_factory(cfg.kd_myelin_path)
+    if thresh is None:
+        # the myelin model ships its calibrated probability threshold in
+        # its meta (cnn/toy.calibrate_binary_threshold); default to the
+        # 0.5 the reference uses when absent
+        try:
+            from ..models.io import load_model_meta
+
+            thresh = float(load_model_meta(cfg.mpath_myelin).get(
+                "threshold", 128.0))
+        except Exception:  # noqa: BLE001 - no model dir (GT-map worlds)
+            thresh = 128.0
     if mag is None:
         mag = max(1, int(round(float(kd.scale[0]) / float(cfg["scaling"][0]))))
     # ``mag`` scales dataset coords into the store's frame; the store's own
