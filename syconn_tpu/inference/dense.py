@@ -51,7 +51,11 @@ def _cdiv(a, b):
 
 def _is_oom(e: Exception) -> bool:
     s = str(e)
-    return "RESOURCE_EXHAUSTED" in s or "Out of memory" in s or "out of memory" in s
+    return ("RESOURCE_EXHAUSTED" in s or "Out of memory" in s
+            or "out of memory" in s
+            # compile-time allocation failures surface through the remote
+            # compile helper with this phrasing, not RESOURCE_EXHAUSTED
+            or "would exceed memory" in s)
 
 
 def shrink_tile_shape(tile_shape, halo, patch):
@@ -556,17 +560,54 @@ def predict_dense_to_kd(
         vol = res_src if res_src is not None else src.load_raw(
             offset=(0, 0, 0), size=sh, mag=mag
         )
-        packed_dev, grid_r = pred.predict_volume_packed(vol)
+        while True:
+            try:
+                packed_dev, grid_r = pred.predict_volume_packed(vol)
+                break
+            except Exception as e:  # noqa: BLE001
+                # degrade-instead-of-die also applies to the resident path:
+                # at GVx scale the forward can exhaust HBM even at
+                # tile_batch 1 (observed at tile 256^2x128 with a 5.4 GB
+                # resident store) — shrink the tile and rebuild
+                if not _is_oom(e):
+                    raise
+                shrunk = shrink_tile_shape(tuple(int(t) for t in ts),
+                                           tuple(int(x) for x in h),
+                                           pred.patch)
+                if shrunk is None:
+                    raise
+                tile_shape, halo = shrunk
+                ts = np.asarray(tile_shape, np.int64)
+                h = np.asarray(halo, np.int64)
+                log.warning(
+                    "resident forward OOM; retrying with tile %s halo %s",
+                    tile_shape, halo)
+                pred = ResidentDensePredictor(
+                    model, params, tile_shape=tile_shape, halo=halo,
+                    mode=mode, thresholds=thresholds, batch_size=batch_size,
+                )
         # register per-class outputs resident (device-side reassembly) so
-        # the extraction stages read them from HBM instead of disk
+        # the extraction stages read them from HBM instead of disk. At GVx
+        # scale the reassembly transpose can exceed HBM at COMPILE time
+        # (padded-layout temporaries ~20x the u8 volume) — registration is
+        # an optimization, never worth failing the run: downstream stages
+        # fall back to the chunk store on disk.
         if mag == 1 and res_src is not None:
             for name, ch in channel_mapping.items():
                 if name not in target_paths:
                     continue
-                cls_dev = pred.class_volume_device(
-                    packed_dev, grid_r, int(ch), tuple(int(s) for s in sh)
-                )
-                _resident.put(target_paths[name], "raw", cls_dev, mag=mag)
+                try:
+                    cls_dev = pred.class_volume_device(
+                        packed_dev, grid_r, int(ch), tuple(int(s) for s in sh)
+                    )
+                    _resident.put(target_paths[name], "raw", cls_dev, mag=mag)
+                except Exception as e:  # noqa: BLE001
+                    if not _is_oom(e):
+                        raise
+                    log.warning(
+                        "skipping resident registration of %s output "
+                        "(device reassembly OOM: %.80s)", name, str(e))
+                    break
         packed = np.asarray(packed_dev)
         writer = ThreadPoolExecutor(max_workers=io_threads)
         futs = []
