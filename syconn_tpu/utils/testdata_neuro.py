@@ -117,9 +117,16 @@ class _Painter:
     def paint_ball(self, cid, c, r, comp, spin=None):
         self.paint_capsule(cid, c, c, r, r, comp, spin)
 
-    def paint_myelin(self, cid, p0, p1, r_axon, thickness=1.8):
+    def paint_myelin(self, cid, p0, p1, r_axon, thickness=4.0):
         """Sheath ring: r_axon .. r_axon+thickness, only over free space
-        (the sheath is kept as part of the axon's cell object)."""
+        (the sheath is kept as part of the axon's cell object).
+
+        Thickness is in x-voxels (10 nm): compact myelin around CNS axons
+        is tens of lamellae at ~15-18 nm periodicity, i.e. a 100-500 nm
+        sheath — 10-50 voxels at this scale. The r4 default of 1.8 voxels
+        sat at the resolution floor and made the dense myelin task
+        unlearnable (held-out IoU 0.14-0.26 across retrains); 4 voxels
+        (40 nm) is still conservative relative to real EM."""
         sl, m, radial = self.capsule_mask(p0, p1, r_axon + thickness,
                                           r_axon + thickness)
         if sl is None:
