@@ -560,9 +560,48 @@ def predict_dense_to_kd(
         vol = res_src if res_src is not None else src.load_raw(
             offset=(0, 0, 0), size=sh, mag=mag
         )
+
+        def _packed_tile_bytes():
+            # device bytes of ONE tile's packed output, including the XLA
+            # lane padding of the minor dim (e.g. a binary head's C*pvox
+            # = 64 pads to the 128-lane tile — the allocation doubles)
+            dims = [int(ts[i]) // int(pred.patch[i]) for i in range(3)]
+            lane = -(-int(pred.n_classes * np.prod(pred.patch)) // 128) * 128
+            return int(np.prod(dims)) * lane
+
         while True:
             try:
-                packed_dev, grid_r = pred.predict_volume_packed(vol)
+                # z-slab the volume when the full packed output would
+                # crowd HBM (observed at 0.726 GVx with a 5.4 GB resident
+                # store: the lane-padded packed allocation alone is ~8 GB
+                # for the binary myelin head). Slabs are tile-aligned in
+                # z; each slab's packed output drains to the host before
+                # the next dispatches. Slab seams see a zero halo instead
+                # of neighbor voxels — the volume-border semantics.
+                grid_all = tuple(int(g) for g in _cdiv(sh, ts))
+                budget = 2 << 30
+                layers = max(1, min(
+                    grid_all[2],
+                    budget // max(_packed_tile_bytes()
+                                  * grid_all[0] * grid_all[1], 1)))
+                if layers < grid_all[2]:
+                    log.info(
+                        "resident prediction in %d z-slabs of %d tile "
+                        "layers (full packed output would exceed the HBM "
+                        "budget)", -(-grid_all[2] // layers), layers)
+                packed_parts = []
+                z_step = int(layers * ts[2])
+                multi = layers < grid_all[2]
+                for z0 in range(0, int(sh[2]), z_step):
+                    vol_slab = vol[:, :, z0 : min(z0 + z_step, int(sh[2]))]
+                    packed_dev, grid_s = pred.predict_volume_packed(vol_slab)
+                    # multi-slab: drain each slab to host so the next
+                    # slab's allocation replaces it; single-slab: keep the
+                    # device array for the resident output registration
+                    packed_parts.append(
+                        (z0, np.asarray(packed_dev) if multi else packed_dev,
+                         grid_s))
+                    del packed_dev
                 break
             except Exception as e:  # noqa: BLE001
                 # degrade-instead-of-die also applies to the resident path:
@@ -592,7 +631,9 @@ def predict_dense_to_kd(
         # (padded-layout temporaries ~20x the u8 volume) — registration is
         # an optimization, never worth failing the run: downstream stages
         # fall back to the chunk store on disk.
-        if mag == 1 and res_src is not None:
+        if mag == 1 and res_src is not None and len(packed_parts) == 1:
+            packed_dev = packed_parts[0][1]  # still on device (single slab)
+            grid_r = packed_parts[0][2]
             for name, ch in channel_mapping.items():
                 if name not in target_paths:
                     continue
@@ -608,16 +649,19 @@ def predict_dense_to_kd(
                         "skipping resident registration of %s output "
                         "(device reassembly OOM: %.80s)", name, str(e))
                     break
-        packed = np.asarray(packed_dev)
+            del packed_dev
         writer = ThreadPoolExecutor(max_workers=io_threads)
         futs = []
-        k = 0
-        for gx in range(grid_r[0]):
-            for gy in range(grid_r[1]):
-                for gz in range(grid_r[2]):
-                    off = np.array([gx, gy, gz]) * ts
-                    futs.append(writer.submit(_write_one, off, packed[k]))
-                    k += 1
+        for z_base, packed, grid_r in packed_parts:
+            packed = np.asarray(packed)  # no-op for already-drained slabs
+            k = 0
+            for gx in range(grid_r[0]):
+                for gy in range(grid_r[1]):
+                    for gz in range(grid_r[2]):
+                        off = np.array([gx, gy, gz]) * ts
+                        off[2] += z_base
+                        futs.append(writer.submit(_write_one, off, packed[k]))
+                        k += 1
         for f in futs:
             f.result()
         writer.shutdown()
