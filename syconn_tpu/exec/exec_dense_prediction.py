@@ -64,12 +64,24 @@ def predict_myelin(mag: Optional[int] = None, tile_shape=None, halo=None):
     the reference's 4."""
     log = initialize_logging("dense_prediction")
     cfg = global_params.config
-    if mag is None:
-        from ..models.io import load_model_meta
+    from ..models.io import load_model_meta
 
-        mag = int(load_model_meta(cfg.mpath_myelin).get("mag", 4))
+    meta = load_model_meta(cfg.mpath_myelin)
+    if mag is None:
+        mag = int(meta.get("mag", 4))
     model, params = _load_unet(cfg.mpath_myelin, "myelin")
     tile_shape, halo = _tile_params(mag, tile_shape, halo)
+    # binary head with a calibrated threshold: threshold ON DEVICE and
+    # read back bit-packed masks — 16x less downlink than the uint8 prob
+    # map (at 0.726 GVx the prob readback alone was 176 s over the
+    # relay); the store then holds 0/255, which every prob-threshold
+    # consumer (map_myelin2coords) reads identically
+    thr = meta.get("threshold")
+    mode = "probs" if thr is None else "masks"
+    thresholds = None
+    if thr is not None:
+        thresholds = [0.5] * model.n_classes
+        thresholds[1] = float(thr) / 255.0
     stats = predict_dense_to_kd(
         cfg.kd_seg_path,
         target_paths={"myelin": cfg.kd_myelin_path},
@@ -80,6 +92,8 @@ def predict_myelin(mag: Optional[int] = None, tile_shape=None, halo=None):
         tile_shape=tile_shape,
         halo=halo,
         target_mags=(1,),
+        mode=mode,
+        thresholds=thresholds,
     )
     log.info("predict_myelin: %.1f MVx/s", stats["mvox_per_s"])
     return stats
